@@ -1,0 +1,121 @@
+"""Host-side sequential decoders: traceback walk and checkpoint recovery.
+
+Both are O(n + s) pointer chases — inherently serial and tiny next to the
+O(n·s) wavefront work, so they run on the host over buffers fetched from the
+device (SURVEY.md §2 C10/C13 mapping).  A native C++ implementation is used
+when available (miniwfa_tpu.utils.native); this module is the always-correct
+pure-Python fallback and the semantic specification.
+
+Traceback semantics replicate the reference walker exactly
+(wf_traceback, miniwfa.c:329-377): the 7-bit byte per cell is
+``extD2<<6|extI2<<5|extD1<<4|extI1<<3|fromState``; the ext bit decides
+whether a gap step costs e or o+e; leading overhang is emitted as I/D.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..options import Options
+from .. import cigar as C
+
+
+def traceback_walk(
+    opt: Options,
+    tb_bits: np.ndarray,   # [n_rows, W] uint8; row r ↔ score r+1
+    tb_lo: np.ndarray,     # [n_rows] int32; row band lo (anchor = lo - m1)
+    m1: int,               # pad width used by the engine (max_pen + 1)
+    ts: bytes,
+    qs: bytes,
+    s_final: int,
+    last_state: int,
+) -> List[int]:
+    """Walk the packed traceback buffer into a packed CIGAR."""
+    tl, ql = len(ts), len(qs)
+    i, k = ql - 1, tl - 1
+    srow = s_final - 1
+    last = int(last_state)
+    cig: List[int] = []
+    while i >= 0 and k >= 0:
+        if last == 0:
+            # consume exact matches (miniwfa.c:334-340)
+            k0 = k
+            while i >= 0 and k >= 0 and qs[i] == ts[k]:
+                i -= 1
+                k -= 1
+            if k0 - k > 0:
+                C.push(cig, C.OP_EQ, k0 - k)
+            if i < 0 or k < 0:
+                break
+        assert srow >= 0, "traceback ran past score 0"
+        col = (i - k) - int(tb_lo[srow]) + m1
+        x = int(tb_bits[srow, col])
+        state = (x & 7) if last == 0 else last
+        ext = ((x >> (state + 2)) & 1) if state > 0 else 0
+        if state == 0:
+            C.push(cig, C.OP_X, 1)
+            i -= 1
+            k -= 1
+            srow -= opt.x
+        elif state == 1:
+            C.push(cig, C.OP_I, 1)
+            i -= 1
+            srow -= opt.e1 if ext else opt.o1 + opt.e1
+        elif state == 3:
+            C.push(cig, C.OP_I, 1)
+            i -= 1
+            srow -= opt.e2 if ext else opt.o2 + opt.e2
+        elif state == 2:
+            C.push(cig, C.OP_D, 1)
+            k -= 1
+            srow -= opt.e1 if ext else opt.o1 + opt.e1
+        elif state == 4:
+            C.push(cig, C.OP_D, 1)
+            k -= 1
+            srow -= opt.e2 if ext else opt.o2 + opt.e2
+        else:
+            raise AssertionError(f"bad traceback state {state}")
+        last = state if (state > 0 and ext) else 0
+    # leading overhang (miniwfa.c:368-369)
+    if i >= 0:
+        C.push(cig, C.OP_I, i + 1)
+    elif k >= 0:
+        C.push(cig, C.OP_D, k + 1)
+    cig.reverse()
+    return cig
+
+
+def decode_checkpoints(
+    snap_x: np.ndarray,    # [n_snap_cap, NS*5*W] int32
+    snap_lo: np.ndarray,   # [n_snap_cap, NS] int32
+    snap_cnt: int,
+    last_ptr: int,
+    ns: int,
+    w_cap: int,
+    step: int,
+) -> List[Tuple[int, int]]:
+    """Recover the (score, diagonal) checkpoints the optimal path crosses
+    at each snapshot, newest → oldest pointer jumping
+    (reference wf_traceback_seg, miniwfa.c:528-549).
+
+    Flat pointer encoding (matches ops.wavefront.snapshot):
+    idx = (slice_k*5 + state)*W + (d - slice_lo[slice_k]); snapshot c was
+    taken at score step*(c+1)-1; slice k in it holds score
+    snap_s - (NS-1-k).
+    """
+    segs: List[Tuple[int, int]] = []
+    last = int(last_ptr)
+    for c in range(snap_cnt - 1, -1, -1):
+        assert last >= 0, f"pointer chain broke at snapshot {c}: {last}"
+        kk = last // (5 * w_cap)
+        w = last % w_cap
+        snap_s = step * (c + 1) - 1
+        s = snap_s - (ns - 1 - kk)
+        d = int(snap_lo[c, kk]) + w
+        segs.append((s, d))
+        last = int(snap_x[c, last])
+    assert last == -1, f"pointer chain did not reach origin: {last}"
+    segs.reverse()
+    return segs
