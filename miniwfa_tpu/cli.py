@@ -1,0 +1,107 @@
+"""mwf-tpu — test-mwf-compatible command-line driver.
+
+Same flags, same PAF-like 10/11-column TSV output as the reference binary
+(main.c:29-83), so golden outputs diff directly:
+
+    mwf-tpu [options] <in1.fa> <in2.fa>
+
+Reads the two (optionally gzipped) FASTA/FASTQ files in lockstep and aligns
+record i of file 1 (target) against record i of file 2 (query).
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+import time
+
+from . import Options, align_auto, align_chain, align_exact
+from . import cigar as C
+from .utils.io import read_fastx
+
+USAGE = """Usage: mwf-tpu [options] <in1.fa> <in2.fa>
+Options:
+  -c       generate CIGAR
+  -p INT   step size (force -c; 0 to disable) [0]
+  -u       apply the chaining heuristic
+  -t       automatically choose between the exact and the chaining mode
+  -l INT   min gapless length for chain filtering [30]
+  -f INT   max k-mer occurrence [2]
+  -a       mimic affine gap
+  -e       mimic edit distance
+  -B INT   batch size for device dispatch [64]
+  -K       (accepted for compatibility; no allocator to disable)
+  -d       debug logging
+"""
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        opts, args = getopt.getopt(argv, "cKdep:autl:f:B:")
+    except getopt.GetoptError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    opt = Options()
+    mode = 0
+    batch_size = 64
+    for o, a in opts:
+        if o == "-c":
+            opt = opt.replace(cigar=True)
+        elif o == "-p":
+            opt = opt.replace(cigar=True, step=int(a))
+        elif o == "-a":
+            opt = opt.as_single_affine()
+        elif o == "-e":
+            opt = opt.as_edit_distance()
+        elif o == "-l":
+            opt = opt.replace(min_len=int(a))
+        elif o == "-f":
+            opt = opt.replace(max_occ=int(a))
+        elif o == "-u":
+            mode = 1
+        elif o == "-t":
+            mode = 2
+        elif o == "-B":
+            batch_size = int(a)
+    if len(args) < 2:
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    t0 = time.perf_counter()
+    it1, it2 = read_fastx(args[0]), read_fastx(args[1])
+    pending = []
+
+    def flush(pending):
+        nonlocal t0
+        if not pending:
+            return
+        if mode == 0:
+            from .models.exact import align_batch
+            results = align_batch([(r1.seq, r2.seq) for r1, r2 in pending], opt)
+        else:
+            fn = align_chain if mode == 1 else align_auto
+            results = [fn(r1.seq, r2.seq, opt) for r1, r2 in pending]
+        for (r1, r2), r in zip(pending, results):
+            if opt.cigar and r.cigar is not None:
+                C.assert_cigar(opt, r.cigar, len(r1.seq), len(r2.seq), r.s)
+            row = (f"{r1.name}\t{len(r1.seq)}\t0\t{len(r1.seq)}\t+\t"
+                   f"{r2.name}\t{len(r2.seq)}\t0\t{len(r2.seq)}\t{r.s}")
+            if opt.cigar:
+                row += "\t" + (r.cigar_str or "")
+            print(row, flush=True)
+            print(f"T\t{r1.name}\t{r2.name}\t{time.perf_counter() - t0:.3f}",
+                  file=sys.stderr)
+            t0 = time.perf_counter()
+
+    for r1, r2 in zip(it1, it2):
+        pending.append((r1, r2))
+        if len(pending) >= batch_size:
+            flush(pending)
+            pending = []
+    flush(pending)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,17 +2,23 @@
 
 Implements the reference's ``mwf_wfa_exact`` behavior (miniwfa.c:603-615):
 score-only, high-memory CIGAR traceback, and the two-pass low-memory stripe
-mode, with identical scores, CIGARs and cell counts.
+mode, with identical scores, CIGARs and cell counts — batched.
 
-Host responsibilities (cheap, O(n+s)): sequence encoding, capacity-bucket
-selection with escalate-and-retry on overflow, traceback walking, checkpoint
-decoding.  Device responsibilities (the O(n·s) work): the whole wavefront
-loop, compiled once per capacity bucket.
+Host responsibilities (cheap, O(n+s) per pair): sequence encoding, capacity
+bucket selection with escalate-and-retry on overflow, traceback walking,
+checkpoint decoding.  Device responsibilities (the O(n·s) work): the whole
+wavefront loop over a batch of pairs, compiled once per capacity bucket.
+
+Batching model: pairs are padded into a lane bucket and advance in lockstep
+(one while-loop iteration = one wavefront cycle for every still-running
+lane).  Lanes that outgrow the band window (W), score budget (S_CAP) or
+snapshot capacity re-run in an escalated bucket; completed lanes' results
+are bit-identical to a solo run because every per-lane update is masked.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -23,10 +29,14 @@ from ..ops.wavefront import (
     MODE_PASS1,
     MODE_SCORE,
     MODE_TB,
+    Q_SENT,
+    T_SENT,
     WfSpec,
     get_aligner,
 )
 from . import traceback as tbk
+
+Seg = List[Tuple[int, int]]
 
 
 @dataclass
@@ -66,17 +76,9 @@ def _encode(seqs: Sequence[bytes], cap: int, sentinel: int) -> np.ndarray:
     return out
 
 
-def _score_upper_bound(opt: Options, tl: int, ql: int) -> int:
-    """A cheap worst-case score: mismatch everything + one gap for the
-    length difference."""
-    b = opt.x * min(tl, ql) + opt.gap_cost(abs(tl - ql)) + 2
-    if opt.max_s > 0:
-        b = min(b, opt.max_s + 2)
-    return max(b, 4)
-
-
-@dataclass
+@dataclass(frozen=True)
 class _Buckets:
+    B: int
     LT: int
     LQ: int
     W: int
@@ -85,52 +87,23 @@ class _Buckets:
     S_full: int   # score can never exceed this
 
 
-def _initial_buckets(opt: Options, tl: int, ql: int,
-                     w0: int = 512, s0: int = 512) -> _Buckets:
+def _buckets_for(opt: Options, ts_list, qs_list, w0: int, s0: int) -> _Buckets:
     ns = opt.max_pen + 1
-    w_full = _next_pow2(tl + ql + 1 + 2 * ns + 18)
-    s_full = _next_pow2(_score_upper_bound(opt, tl, ql) + 2)
+    LT = _next_pow2(max(128, max((len(t) for t in ts_list), default=1)))
+    LQ = _next_pow2(max(128, max((len(q) for q in qs_list), default=1)))
+    # caps derived from the *buckets* so equal-bucket batches share one jit
+    w_full = _next_pow2(LT + LQ + 1 + 2 * ns + 18)
+    s_bound = opt.x * min(LT, LQ) + opt.gap_cost(LT + LQ) + 4
+    if opt.max_s > 0:
+        s_bound = min(s_bound, opt.max_s + 2)
+    s_full = _next_pow2(s_bound)
     return _Buckets(
-        LT=_next_pow2(max(tl, 16)),
-        LQ=_next_pow2(max(ql, 16)),
-        W=min(_next_pow2(max(w0, 2 * ns + 20)), w_full),
+        B=_next_pow2(max(1, len(ts_list))),
+        LT=LT, LQ=LQ,
+        W=min(_next_pow2(max(w0, 2 * ns + 24)), w_full),
         S_CAP=min(_next_pow2(s0), s_full),
-        W_full=w_full,
-        S_full=s_full,
+        W_full=w_full, S_full=s_full,
     )
-
-
-def _run_device(opt: Options, mode: int, bk: _Buckets, ts: bytes, qs: bytes,
-                seg: Optional[List[Tuple[int, int]]] = None):
-    seg_cap = max(1, len(seg) if seg else 0)
-    spec = WfSpec(
-        B=1, W=bk.W, S_CAP=bk.S_CAP, LT=bk.LT, LQ=bk.LQ,
-        x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
-        mode=mode,
-        step=opt.step if mode == MODE_PASS1 else 0,
-        n_snap=(bk.S_CAP // opt.step + 2) if mode == MODE_PASS1 else 0,
-        seg_cap=seg_cap, use_seg=bool(seg),
-        max_s=opt.max_s if mode != MODE_PASS1 else 0,
-        max_iter=opt.max_iter if mode != MODE_PASS1 else 0,
-    )
-    fn = get_aligner(spec)
-    from ..ops.wavefront import Q_SENT, T_SENT
-    t_pad = _encode([ts], bk.LT, T_SENT)
-    q_pad = _encode([qs], bk.LQ, Q_SENT)
-    tl = np.array([len(ts)], np.int32)
-    ql = np.array([len(qs)], np.int32)
-    if seg:
-        seg_s = np.full((1, seg_cap), -9, np.int32)
-        seg_d = np.zeros((1, seg_cap), np.int32)
-        seg_s[0, : len(seg)] = [s for s, _ in seg]
-        seg_d[0, : len(seg)] = [d for _, d in seg]
-        n_seg = np.array([len(seg)], np.int32)
-    else:
-        seg_s = np.full((1, seg_cap), -9, np.int32)
-        seg_d = np.zeros((1, seg_cap), np.int32)
-        n_seg = np.zeros((1,), np.int32)
-    out = fn(t_pad, q_pad, tl, ql, seg_s, seg_d, n_seg)
-    return out, spec
 
 
 def _escalate(bk: _Buckets, ovf_band: bool, ovf_scap: bool) -> _Buckets:
@@ -141,56 +114,163 @@ def _escalate(bk: _Buckets, ovf_band: bool, ovf_scap: bool) -> _Buckets:
         S = min(S * 4, bk.S_full)
     if (W, S) == (bk.W, bk.S_CAP):
         raise RuntimeError("bucket escalation stuck — engine bug")
-    return _Buckets(bk.LT, bk.LQ, W, S, bk.W_full, bk.S_full)
+    return _Buckets(bk.B, bk.LT, bk.LQ, W, S, bk.W_full, bk.S_full)
 
 
-def _n_iter_of(out) -> int:
-    return (int(out["n_iter_hi"][0]) << 30) | int(out["n_iter_lo"][0])
+def _run_device(opt: Options, mode: int, bk: _Buckets,
+                ts_list: List[bytes], qs_list: List[bytes],
+                segs: Optional[List[Optional[Seg]]] = None):
+    n = len(ts_list)
+    B = bk.B
+    use_seg = segs is not None and any(segs)
+    seg_cap = max((len(s) for s in segs if s), default=0) + 1 if use_seg else 1
+    spec = WfSpec(
+        B=B, W=bk.W, S_CAP=bk.S_CAP, LT=bk.LT, LQ=bk.LQ,
+        x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
+        mode=mode,
+        step=opt.step if mode == MODE_PASS1 else 0,
+        n_snap=(bk.S_CAP // opt.step + 2) if mode == MODE_PASS1 else 0,
+        seg_cap=seg_cap, use_seg=use_seg,
+        max_s=opt.max_s if mode != MODE_PASS1 else 0,
+        max_iter=opt.max_iter if mode != MODE_PASS1 else 0,
+    )
+    fn = get_aligner(spec)
+    pad_t = ts_list + [b""] * (B - n)
+    pad_q = qs_list + [b""] * (B - n)
+    t_pad = _encode(pad_t, bk.LT, T_SENT)
+    q_pad = _encode(pad_q, bk.LQ, Q_SENT)
+    tl = np.array([len(t) for t in pad_t], np.int32)
+    ql = np.array([len(q) for q in pad_q], np.int32)
+    seg_s = np.full((B, seg_cap), -9, np.int32)
+    seg_d = np.zeros((B, seg_cap), np.int32)
+    n_seg = np.zeros((B,), np.int32)
+    if use_seg:
+        for i, sg in enumerate(segs):
+            if sg:
+                seg_s[i, : len(sg)] = [s for s, _ in sg]
+                seg_d[i, : len(sg)] = [d for _, d in sg]
+                n_seg[i] = len(sg)
+    out = fn(t_pad, q_pad, tl, ql, seg_s, seg_d, n_seg)
+    return out, spec
+
+
+def _n_iter_of(out, i: int) -> int:
+    return (int(out["n_iter_hi"][i]) << 30) | int(out["n_iter_lo"][i])
+
+
+# snapshot-buffer budget per pass-1 device call; lanes are chunked so that
+# B * n_snap * NS*5*W * 4 bytes stays under this (the strided snapshot layout
+# trades memory for static shapes — see ops/wavefront.py)
+PASS1_SNAP_BUDGET = 1 << 30
+
+
+def _pass1_lane_cap(opt: Options, bk: _Buckets) -> int:
+    ns = opt.max_pen + 1
+    n_snap = bk.S_CAP // opt.step + 2
+    per_lane = n_snap * ns * 5 * bk.W * 4
+    return max(1, PASS1_SNAP_BUDGET // max(per_lane, 1))
+
+
+def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
+    """Low-mem pass 1 for a batch; returns per-pair checkpoint lists
+    (reference mwf_wfa_seg, miniwfa.c:551-601)."""
+    ns = opt.max_pen + 1
+    idx = list(range(len(ts_list)))
+    segs: List[Optional[Seg]] = [None] * len(ts_list)
+    while idx:
+        cap = _pass1_lane_cap(opt, bk)
+        chunk, idx_rest = idx[:cap], idx[cap:]
+        bk = _Buckets(_next_pow2(max(1, len(chunk))), bk.LT, bk.LQ, bk.W,
+                      bk.S_CAP, bk.W_full, bk.S_full)
+        idx = chunk
+        out, spec = _run_device(opt, MODE_PASS1, bk,
+                                [ts_list[i] for i in idx],
+                                [qs_list[i] for i in idx])
+        ovf = np.asarray(out["overflow"])[: len(idx)]
+        snap_x = None
+        retry = []
+        for j, i in enumerate(idx):
+            if ovf[j]:
+                retry.append(i)
+                continue
+            if snap_x is None:
+                snap_x = np.asarray(jax.device_get(out["snap_x"]))
+                snap_lo = np.asarray(jax.device_get(out["snap_lo"]))
+            segs[i] = tbk.decode_checkpoints(
+                snap_x[j], snap_lo[j], int(out["snap_cnt"][j]),
+                int(out["last_ptr"][j]), ns, spec.W, opt.step)
+        if retry:
+            bk = _escalate(bk,
+                           bool(np.asarray(out["ovf_band"])[: len(idx)].any()),
+                           bool(np.asarray(out["ovf_scap"])[: len(idx)].any()))
+            bk = _Buckets(_next_pow2(max(1, len(retry))), bk.LT, bk.LQ,
+                          bk.W, bk.S_CAP, bk.W_full, bk.S_full)
+        idx = retry + idx_rest
+    return segs  # type: ignore[return-value]
+
+
+def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
+                *, w0: int = 512, s0: int = 512) -> List[Result]:
+    """Exact alignment of a batch of (target, query) pairs."""
+    ts_list = [as_bytes(t) for t, _ in pairs]
+    qs_list = [as_bytes(q) for _, q in pairs]
+    n = len(pairs)
+    results: List[Optional[Result]] = [None] * n
+    if n == 0:
+        return []
+    bk = _buckets_for(opt, ts_list, qs_list, w0, s0)
+    ns = opt.max_pen + 1
+
+    segs: Optional[List[Optional[Seg]]] = None
+    if opt.step > 0 and opt.cigar:
+        segs = _run_pass1(opt, bk, ts_list, qs_list)
+        # pass 2 runs with the band collapsed to ≤ 2·step+1 at checkpoints
+        bk = _Buckets(bk.B, bk.LT, bk.LQ,
+                      W=min(_next_pow2(2 * opt.step + 2 * ns + 24), bk.W_full),
+                      S_CAP=bk.S_CAP, W_full=bk.W_full, S_full=bk.S_full)
+
+    mode = MODE_TB if opt.cigar else MODE_SCORE
+    idx = list(range(n))
+    cur_bk = bk
+    while idx:
+        sub_segs = [segs[i] for i in idx] if segs is not None else None
+        out, spec = _run_device(opt, mode, cur_bk,
+                                [ts_list[i] for i in idx],
+                                [qs_list[i] for i in idx], sub_segs)
+        ovf = np.asarray(out["overflow"])[: len(idx)]
+        stopped = np.asarray(out["stopped"])[: len(idx)]
+        final_s = np.asarray(out["final_s"])[: len(idx)]
+        tb_bits = tb_lo = None
+        retry = []
+        for j, i in enumerate(idx):
+            if ovf[j]:
+                retry.append(i)
+                continue
+            n_iter = _n_iter_of(out, j)
+            if stopped[j]:
+                results[i] = Result(s=-1, cigar=None, n_iter=n_iter)
+                continue
+            s = int(final_s[j])
+            cig = None
+            if opt.cigar:
+                if tb_bits is None:
+                    smax = int(final_s.max())
+                    tb_bits = np.asarray(jax.device_get(out["tb_bits"][:, :max(smax, 0)]))
+                    tb_lo = np.asarray(jax.device_get(out["tb_lo"][:, :max(smax, 0)]))
+                cig = tbk.traceback_walk(opt, tb_bits[j], tb_lo[j], ns,
+                                         ts_list[i], qs_list[i], s,
+                                         int(out["last_state"][j]))
+            results[i] = Result(s=s, cigar=cig, n_iter=n_iter)
+        if retry:
+            cur_bk = _escalate(cur_bk,
+                               bool(np.asarray(out["ovf_band"])[: len(idx)].any()),
+                               bool(np.asarray(out["ovf_scap"])[: len(idx)].any()))
+            cur_bk = _Buckets(_next_pow2(max(1, len(retry))), cur_bk.LT, cur_bk.LQ,
+                              cur_bk.W, cur_bk.S_CAP, cur_bk.W_full, cur_bk.S_full)
+        idx = retry
+    return results  # type: ignore[return-value]
 
 
 def align_exact(ts, qs, opt: Options, *, w0: int = 512, s0: int = 512) -> Result:
     """Exact alignment of one pair; mirrors mwf_wfa_exact (miniwfa.c:603)."""
-    ts, qs = as_bytes(ts), as_bytes(qs)
-    bk = _initial_buckets(opt, len(ts), len(qs), w0, s0)
-    ns = opt.max_pen + 1
-
-    seg: Optional[List[Tuple[int, int]]] = None
-    if opt.step > 0 and opt.cigar:
-        # PASS 1: snapshot stripes + pointer jumping (miniwfa.c:551-601)
-        while True:
-            out, spec = _run_device(opt, MODE_PASS1, bk, ts, qs)
-            if not bool(out["overflow"][0]):
-                break
-            bk = _escalate(bk, bool(out["ovf_band"][0]), bool(out["ovf_scap"][0]))
-        s1 = int(out["final_s"][0])
-        seg = tbk.decode_checkpoints(
-            np.asarray(out["snap_x"][0]), np.asarray(out["snap_lo"][0]),
-            int(out["snap_cnt"][0]), int(out["last_ptr"][0]),
-            ns, spec.W, opt.step)
-        # pass 2 runs with a collapsed band ≤ 2·step+1 wide and the score
-        # known exactly from pass 1
-        bk = _Buckets(
-            bk.LT, bk.LQ,
-            W=min(_next_pow2(2 * opt.step + 2 * ns + 20), bk.W_full),
-            S_CAP=min(_next_pow2(s1 + 2), bk.S_full),
-            W_full=bk.W_full, S_full=bk.S_full)
-
-    mode = MODE_TB if opt.cigar else MODE_SCORE
-    while True:
-        out, spec = _run_device(opt, mode, bk, ts, qs, seg)
-        if not bool(out["overflow"][0]):
-            break
-        bk = _escalate(bk, bool(out["ovf_band"][0]), bool(out["ovf_scap"][0]))
-
-    n_iter = _n_iter_of(out)
-    if bool(out["stopped"][0]):
-        return Result(s=-1, cigar=None, n_iter=n_iter)
-    s = int(out["final_s"][0])
-    cig = None
-    if opt.cigar:
-        n_rows = max(s, 0)
-        tb_bits = np.asarray(jax.device_get(out["tb_bits"][0, :n_rows]))
-        tb_lo = np.asarray(jax.device_get(out["tb_lo"][0, :n_rows]))
-        cig = tbk.traceback_walk(opt, tb_bits, tb_lo, ns, ts, qs, s,
-                                 int(out["last_state"][0]))
-    return Result(s=s, cigar=cig, n_iter=n_iter)
+    return align_batch([(ts, qs)], opt, w0=w0, s0=s0)[0]

@@ -33,6 +33,16 @@ def traceback_walk(
     last_state: int,
 ) -> List[int]:
     """Walk the packed traceback buffer into a packed CIGAR."""
+    try:
+        from ..utils import native
+        if native.available():
+            out = native.traceback(tb_bits, tb_lo, m1, ts, qs, s_final,
+                                   last_state, opt.x, opt.o1, opt.e1,
+                                   opt.o2, opt.e2)
+            if out is not None:
+                return [int(v) for v in out]
+    except Exception:
+        pass
     tl, ql = len(ts), len(qs)
     i, k = ql - 1, tl - 1
     srow = s_final - 1

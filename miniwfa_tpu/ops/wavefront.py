@@ -90,6 +90,10 @@ class WfSpec:
     def NS(self) -> int:  # ring depth = max_pen + 1 (miniwfa.c:390-392)
         return max(self.x, self.o1 + self.e1, self.o2 + self.e2) + 1
 
+    def replace_b(self, b: int) -> "WfSpec":
+        import dataclasses
+        return dataclasses.replace(self, B=b)
+
     @property
     def OFF(self) -> int:  # plane offset: index(d) = OFF + d
         return self.LT + self.NS + 4
@@ -537,9 +541,64 @@ def build_aligner(spec: WfSpec):
                        snap_cnt=st["snap_cnt"], last_ptr=st["last_ptr"])
         return out
 
-    return jax.jit(run)
+    return run
 
 
 @functools.lru_cache(maxsize=256)
 def get_aligner(spec: WfSpec):
-    return build_aligner(spec)
+    """Jitted single-host aligner for a static spec."""
+    return jax.jit(build_aligner(spec))
+
+
+def _example_args(spec: WfSpec):
+    """Abstract input signature for a spec (for eval_shape / entry points)."""
+    sd = jax.ShapeDtypeStruct
+    return (
+        sd((spec.B, spec.LT + 8), jnp.int32),
+        sd((spec.B, spec.LQ + 8), jnp.int32),
+        sd((spec.B,), jnp.int32),
+        sd((spec.B,), jnp.int32),
+        sd((spec.B, spec.seg_cap), jnp.int32),
+        sd((spec.B, spec.seg_cap), jnp.int32),
+        sd((spec.B,), jnp.int32),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def get_sharded_aligner(spec: WfSpec, mesh, axis: str = "data"):
+    """The same machine SPMD over a device mesh: the batch axis is sharded
+    across `axis`; every device runs its own while_loop over its own lanes
+    (pure data parallelism — the scale-out strategy per SURVEY.md §2's
+    parallelism inventory), and the cell-throughput counter is merged with
+    a psum over the mesh.  spec.B must be divisible by the axis size."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    local = spec.replace_b(spec.B // mesh.shape[axis])
+    run = build_aligner(local)
+
+    def run_psum(*args):
+        out = run(*args)
+        cells = (out["n_iter_hi"].astype(jnp.float32) * jnp.float32(2 ** 30)
+                 + out["n_iter_lo"].astype(jnp.float32))
+        out["global_cells"] = lax.psum(jnp.sum(cells), axis)
+        return out
+
+    keys = jax.eval_shape(run, *_example_args(local)).keys()
+    out_specs = {k: P(axis) for k in keys}
+    out_specs["global_cells"] = P()
+    # check_vma off: the while-loop carry starts from unvarying constants
+    # (init_state) and becomes device-varying after the first cycle, which
+    # the strict VMA typecheck rejects; semantically the loop is per-shard
+    try:
+        fn = shard_map(run_psum, mesh=mesh,
+                       in_specs=(P(axis),) * 7, out_specs=out_specs,
+                       check_vma=False)
+    except TypeError:  # older jax spelling
+        fn = shard_map(run_psum, mesh=mesh,
+                       in_specs=(P(axis),) * 7, out_specs=out_specs,
+                       check_rep=False)
+    return jax.jit(fn)

@@ -1,0 +1,46 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Validates that the sharded data-parallel path produces results
+bit-identical to the single-device path (the batched==single and
+fake-backend layers of SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single(goldens):
+    from miniwfa_tpu import Options
+    from miniwfa_tpu.models.exact import align_batch
+    from miniwfa_tpu.parallel.batch import align_batch_sharded
+    from miniwfa_tpu.parallel.mesh import make_mesh
+
+    cases = [c for c in goldens["cases"]
+             if max(len(c["t"]), len(c["q"])) <= 256][:24]
+    pairs = [(c["t"], c["q"]) for c in cases]
+    opt = Options()
+    mesh = make_mesh()
+    sharded = align_batch_sharded(pairs, opt, mesh)
+    single = align_batch(pairs, opt)
+    for c, a, b in zip(cases, sharded, single):
+        assert a.s == b.s, c["name"]
+        assert a.n_iter == b.n_iter, c["name"]
+
+
+def test_sharded_scores_match_goldens(goldens):
+    from miniwfa_tpu import Options
+    from miniwfa_tpu.parallel.batch import align_batch_sharded
+    from miniwfa_tpu.parallel.mesh import make_mesh
+
+    cases = [(i, c) for i, c in enumerate(goldens["cases"])
+             if max(len(c["t"]), len(c["q"])) <= 256]
+    res = align_batch_sharded([(c["t"], c["q"]) for _, c in cases],
+                              Options(), make_mesh())
+    exp = goldens["runs"]["score"]
+    for (i, c), r in zip(cases, res):
+        assert r.s == exp[i]["s"], c["name"]
