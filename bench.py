@@ -56,6 +56,9 @@ def main() -> int:
 
     from miniwfa_tpu import Options
     from miniwfa_tpu.models.exact import align_batch
+    from miniwfa_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     opt = Options()  # score-only exact mode: the fundamental hot path
     # warmup: compile + first run (also fixes the bucket ladder)

@@ -17,7 +17,10 @@ import time
 
 from . import Options, align_auto, align_chain, align_exact
 from . import cigar as C
+from .utils.cache import enable_compile_cache
 from .utils.io import read_fastx
+
+enable_compile_cache()
 
 USAGE = """Usage: mwf-tpu [options] <in1.fa> <in2.fa>
 Options:

@@ -25,12 +25,11 @@ import numpy as np
 import jax
 
 from ..options import Options
+from ..ops import pack
 from ..ops.wavefront import (
     MODE_PASS1,
     MODE_SCORE,
     MODE_TB,
-    Q_SENT,
-    T_SENT,
     WfSpec,
     get_aligner,
 )
@@ -68,12 +67,10 @@ def as_bytes(s) -> bytes:
     return bytes(s)
 
 
-def _encode(seqs: Sequence[bytes], cap: int, sentinel: int) -> np.ndarray:
-    out = np.full((len(seqs), cap + 8), sentinel, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        if len(s):
-            out[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    return out
+def _cpw_for(ts_list: Sequence[bytes], qs_list: Sequence[bytes]) -> int:
+    """Packing mode for a batch: 16 chars/word (2-bit) when every byte is
+    uppercase ACGT, else 4 chars/word (raw bytes)."""
+    return 16 if pack.can_pack2(ts_list) and pack.can_pack2(qs_list) else 4
 
 
 @dataclass(frozen=True)
@@ -127,7 +124,7 @@ def _run_device(opt: Options, mode: int, bk: _Buckets,
     spec = WfSpec(
         B=B, W=bk.W, S_CAP=bk.S_CAP, LT=bk.LT, LQ=bk.LQ,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
-        mode=mode,
+        mode=mode, cpw=_cpw_for(ts_list, qs_list),
         step=opt.step if mode == MODE_PASS1 else 0,
         n_snap=(bk.S_CAP // opt.step + 2) if mode == MODE_PASS1 else 0,
         seg_cap=seg_cap, use_seg=use_seg,
@@ -137,8 +134,8 @@ def _run_device(opt: Options, mode: int, bk: _Buckets,
     fn = get_aligner(spec)
     pad_t = ts_list + [b""] * (B - n)
     pad_q = qs_list + [b""] * (B - n)
-    t_pad = _encode(pad_t, bk.LT, T_SENT)
-    q_pad = _encode(pad_q, bk.LQ, Q_SENT)
+    t_pad = pack.pack_ways(pad_t, bk.LT, spec.cpw)
+    q_pad = pack.pack_ways(pad_q, bk.LQ, spec.cpw)
     tl = np.array([len(t) for t in pad_t], np.int32)
     ql = np.array([len(q) for q in pad_q], np.int32)
     seg_s = np.full((B, seg_cap), -9, np.int32)
@@ -195,9 +192,9 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
                 continue
             if snap_x is None:
                 snap_x = np.asarray(jax.device_get(out["snap_x"]))
-                snap_lo = np.asarray(jax.device_get(out["snap_lo"]))
+                snap_anc = np.asarray(jax.device_get(out["snap_anc"]))
             segs[i] = tbk.decode_checkpoints(
-                snap_x[j], snap_lo[j], int(out["snap_cnt"][j]),
+                snap_x[j], snap_anc[j], int(out["snap_cnt"][j]),
                 int(out["last_ptr"][j]), ns, spec.W, opt.step)
         if retry:
             bk = _escalate(bk,
@@ -256,8 +253,10 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 if tb_bits is None:
                     smax = int(final_s.max())
                     tb_bits = np.asarray(jax.device_get(out["tb_bits"][:, :max(smax, 0)]))
-                    tb_lo = np.asarray(jax.device_get(out["tb_lo"][:, :max(smax, 0)]))
-                cig = tbk.traceback_walk(opt, tb_bits[j], tb_lo[j], ns,
+                    tb_lo = np.asarray(jax.device_get(out["tb_anc"][:, :max(smax, 0)]))
+                # rows are anchored at the window anchor: col = d - anc,
+                # i.e. the walker's (tb_lo, m1) with m1 = 0
+                cig = tbk.traceback_walk(opt, tb_bits[j], tb_lo[j], 0,
                                          ts_list[i], qs_list[i], s,
                                          int(out["last_state"][j]))
             results[i] = Result(s=s, cigar=cig, n_iter=n_iter)

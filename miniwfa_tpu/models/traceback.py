@@ -99,7 +99,7 @@ def traceback_walk(
 
 def decode_checkpoints(
     snap_x: np.ndarray,    # [n_snap_cap, NS*5*W] int32
-    snap_lo: np.ndarray,   # [n_snap_cap, NS] int32
+    snap_anc: np.ndarray,  # [n_snap_cap] int32 window anchor per snapshot
     snap_cnt: int,
     last_ptr: int,
     ns: int,
@@ -111,19 +111,20 @@ def decode_checkpoints(
     (reference wf_traceback_seg, miniwfa.c:528-549).
 
     Flat pointer encoding (matches ops.wavefront.snapshot):
-    idx = (slice_k*5 + state)*W + (d - slice_lo[slice_k]); snapshot c was
-    taken at score step*(c+1)-1; slice k in it holds score
-    snap_s - (NS-1-k).
+    idx = (slot*5 + state)*W + w, where w is the window index at the
+    snapshot's recorded anchor.  Snapshot c was taken at score
+    snap_s = step*(c+1)-1; the ring slot holding score s is s % NS, so
+    s = snap_s - ((snap_s - slot) mod NS).
     """
     segs: List[Tuple[int, int]] = []
     last = int(last_ptr)
     for c in range(snap_cnt - 1, -1, -1):
         assert last >= 0, f"pointer chain broke at snapshot {c}: {last}"
-        kk = last // (5 * w_cap)
+        slot = last // (5 * w_cap)
         w = last % w_cap
         snap_s = step * (c + 1) - 1
-        s = snap_s - (ns - 1 - kk)
-        d = int(snap_lo[c, kk]) + w
+        s = snap_s - ((snap_s - slot) % ns)
+        d = int(snap_anc[c]) + w
         segs.append((s, d))
         last = int(snap_x[c, last])
     assert last == -1, f"pointer chain did not reach origin: {last}"

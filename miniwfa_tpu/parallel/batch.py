@@ -16,8 +16,9 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..options import Options
-from ..ops.wavefront import MODE_SCORE, Q_SENT, T_SENT, WfSpec, get_sharded_aligner
-from ..models.exact import Result, _Buckets, _buckets_for, _encode, as_bytes
+from ..ops import pack
+from ..ops.wavefront import MODE_SCORE, WfSpec, get_sharded_aligner
+from ..models.exact import Result, _Buckets, _buckets_for, _cpw_for, as_bytes
 
 
 def _next_mult(n: int, m: int) -> int:
@@ -48,13 +49,15 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
         spec = WfSpec(
             B=B, W=W, S_CAP=S_CAP, LT=bk.LT, LQ=bk.LQ,
             x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
-            mode=MODE_SCORE, max_s=opt.max_s, max_iter=opt.max_iter)
+            mode=MODE_SCORE, cpw=_cpw_for(ts_list, qs_list),
+            max_s=opt.max_s, max_iter=opt.max_iter)
         fn = get_sharded_aligner(spec, mesh, axis)
         pad_t = [ts_list[i] for i in idx] + [b""] * (B - len(idx))
         pad_q = [qs_list[i] for i in idx] + [b""] * (B - len(idx))
         shard = NamedSharding(mesh, P(axis))
         args = (
-            _encode(pad_t, bk.LT, T_SENT), _encode(pad_q, bk.LQ, Q_SENT),
+            pack.pack_ways(pad_t, bk.LT, spec.cpw),
+            pack.pack_ways(pad_q, bk.LQ, spec.cpw),
             np.array([len(t) for t in pad_t], np.int32),
             np.array([len(q) for q in pad_q], np.int32),
             np.full((B, 1), -9, np.int32), np.zeros((B, 1), np.int32),
