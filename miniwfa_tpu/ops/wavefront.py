@@ -87,7 +87,8 @@ class WfSpec:
     use_seg: bool = False  # pass-2 band collapse at checkpoints enabled
     max_s: int = 0
     max_iter: int = 0
-    kw: int = 4          # words per continuation probe round
+    kw: int = 4          # words per miss-probe round
+    a_active: int = 64   # compacted miss-probe slots per round
 
     @property
     def NS(self) -> int:  # ring depth = max_pen + 1 (miniwfa.c:390-392)
@@ -178,63 +179,108 @@ def build_aligner(spec: WfSpec):
         ctz = lax.population_count(jnp.bitwise_and(~u, u - jnp.uint32(1)))
         return jnp.right_shift(ctz, LOGB).astype(jnp.int32)
 
-    def extend_band(t_words, q_words, tl, ql, k, d, elig):
+    def extend_band(t_words, q_words, tl, ql, k, d, elig, ebase, ex):
         """Vectorized LCP extension of all eligible diagonals.
 
-        k, d, elig: [B, W].  Returns extended k.  Reference
-        wf_extend1_padded (miniwfa.c:212-226); here the per-diagonal
+        k, d, elig, ebase, ex: [B, W].  Returns (k, ebase, ex).
+        Reference: wf_extend1_padded (miniwfa.c:212-226); the per-diagonal
         advance is capped at the matrix edge instead of using sentinels.
-        Round 0 probes one word per diagonal; diagonals that consume it
-        continue through masked full-band KW-word rounds.
+
+        TPU-native design — the match-window cache: for each window slot
+        (= diagonal within the anchor epoch) the cache holds ``ex``, the
+        packed XOR word of target-vs-query for the CPW characters starting
+        at target position ``ebase`` on that diagonal.  Sequences never
+        change, so the cache never invalidates; a probe landing inside the
+        window resolves DENSELY by shifting ``ex`` — no memory access.
+        Probes on this chip cost ~30-50us of FIXED time per indexed op
+        plus ~5-8ns/element, so only cache *misses* touch memory,
+        compacted via one top_k + one stacked gather + one combined t&q
+        word gather + one stacked scatter per round (A slots x KW words).
         """
+        A = spec.a_active
+        BITS = 32 // CPW
+        pos = k + 1
         i0 = d + k
         cap = jnp.minimum(tl[:, None] - 1 - k, ql[:, None] - 1 - i0)
         cap = jnp.where(elig, jnp.maximum(cap, 0), 0)
-        wt = word_probe(t_words, NWT, k + 1, live=elig)
-        wq = word_probe(q_words, NWQ, d + k + 1, live=elig)
-        x = jnp.bitwise_xor(wt, wq)
-        run0 = jnp.where(x == 0, CPW, ctz_chars(x))
-        adv = jnp.minimum(run0, cap)
-        k = k + adv
-        cap = cap - adv
-        act = elig & (run0 == CPW) & (cap > 0)
+        # dense window resolution
+        off = pos - ebase
+        in_win = elig & (off >= 0) & (off < CPW)
+        offc = jnp.clip(off, 0, CPW - 1)
+        x_sh = jnp.right_shift(ex.astype(jnp.uint32),
+                               (BITS * offc).astype(jnp.uint32))
+        runw = jnp.where(x_sh == 0, CPW - offc, ctz_chars(x_sh))
+        adv = jnp.minimum(runw, cap)
+        k = jnp.where(in_win, k + adv, k)
+        complete = (x_sh != 0) | (adv >= cap)
+        miss = elig & ~(in_win & complete)
+        import os
+        stats = None
+        if os.environ.get("MWF_DBG_EXTSTATS"):
+            stats = (jnp.sum(elig.astype(jnp.int32)),
+                     jnp.sum(miss.astype(jnp.int32)),
+                     jnp.sum((elig & (off < 0)).astype(jnp.int32)),
+                     jnp.sum((elig & (off >= CPW)).astype(jnp.int32)))
 
         arKW = jnp.arange(KW, dtype=jnp.int32)[None, None, :] * CPW
 
         def cond(c):
-            return jnp.any(c[2])
+            return jnp.any(c[3])
 
         def body(c):
-            k, cap, act = c
-            pt = (k + 1)[:, :, None] + arKW
-            pq = (d + k + 1)[:, :, None] + arKW
-            live3 = jnp.broadcast_to(act[:, :, None], pt.shape)
+            k, eb, ex, miss = c
+            vals, sel = lax.top_k(miss.astype(jnp.int32), A)   # [B, A]
+            valid = vals > 0
+            # one stacked gather for all per-slot state
+            stacked = jnp.stack([k, eb, ex, miss.astype(jnp.int32)], axis=1)
+            sel4 = jnp.broadcast_to(sel[:, None, :], (B, 4, A))
+            got = jnp.take_along_axis(stacked, sel4, axis=2)
+            ksel, eb_old, ex_old, ms_old = (got[:, j] for j in range(4))
+            dsel = d[:, :1] + sel          # d = anc + w, arithmetic not gather
+            isel = dsel + ksel
+            caps = jnp.minimum(tl[:, None] - 1 - ksel, ql[:, None] - 1 - isel)
+            caps = jnp.where(valid, jnp.maximum(caps, 0), 0)
+            psel = ksel + 1
+            pt = psel[:, :, None] + arKW
+            pq = (isel + 1)[:, :, None] + arKW
+            live3 = jnp.broadcast_to(valid[:, :, None], pt.shape)
             x = jnp.bitwise_xor(word_probe(t_words, NWT, pt, live=live3),
                                 word_probe(q_words, NWQ, pq, live=live3))
             # first-mismatch scan, statically unrolled over the KW words
             # (cumprod lowers to a slow reduce_window on TPU; a minor-axis
             # gather for the first word is worse — both avoided)
-            run = jnp.zeros_like(k)
-            xf = jnp.zeros_like(k)
-            open_ = jnp.ones(k.shape, bool)
+            run = jnp.zeros_like(ksel)
+            xf = jnp.zeros_like(ksel)
+            nmat = jnp.zeros_like(ksel)    # fully-matching words before stop
+            open_ = jnp.ones(ksel.shape, bool)
             for j in range(KW):
                 xj = x[:, :, j]
                 m = xj == 0
                 xf = jnp.where(open_ & ~m, xj, xf)
                 run = run + jnp.where(open_ & m, CPW, 0)
+                nmat = nmat + jnp.where(open_ & m, 1, 0)
                 open_ = open_ & m
             run = run + jnp.where(~open_, ctz_chars(xf), 0)
-            adv = jnp.where(act, jnp.minimum(run, cap), 0)
-            k = k + adv
-            cap = cap - adv
-            act = act & (run == KW * CPW) & (cap > 0)
-            return k, cap, act
+            adv = jnp.where(valid, jnp.minimum(run, caps), 0)
+            knew = ksel + adv
+            done = valid & ((run < KW * CPW) | (adv >= caps))
+            # cache the stop word: its XOR and start position (all-match
+            # continuation caches the last all-zero word, which future
+            # probes resolve as matches-then-miss — still exact)
+            jsel = jnp.minimum(nmat, KW - 1)
+            eb_new = jnp.where(valid, psel + jsel * CPW, eb_old)
+            ex_new = jnp.where(valid, xf, ex_old)
+            new = jnp.stack(
+                [jnp.where(valid, knew, ksel), eb_new, ex_new,
+                 jnp.where(valid, (valid & ~done).astype(jnp.int32), ms_old)],
+                axis=1)
+            stacked = jnp.put_along_axis(stacked, sel4, new, axis=2,
+                                         inplace=False)
+            return (stacked[:, 0], stacked[:, 1], stacked[:, 2],
+                    stacked[:, 3] != 0)
 
-        import os
-        if os.environ.get("MWF_DBG_ONEROUND"):  # perf debugging only
-            return k
-        k, _, _ = lax.while_loop(cond, body, (k, cap, act))
-        return k
+        k, ebase, ex, _ = lax.while_loop(cond, body, (k, ebase, ex, miss))
+        return k, ebase, ex, stats
 
     def transition_values(src):
         """The 5-state dual-affine recurrence + 7-bit tb byte.
@@ -321,6 +367,11 @@ def build_aligner(spec: WfSpec):
         # score-0 top: H[d=0] = -1 (reference miniwfa.c:119)
         st["tH"] = st["tH"].at[:, W // 2].set(-1)
         st.update(
+            # match-window cache (see extend_band); init = all-miss
+            ebase=jnp.full((B, W), 0x3FFFFFFF, jnp.int32),
+            ex=jnp.zeros((B, W), jnp.int32),
+        )
+        st.update(
             anc=jnp.full((B,), -(W // 2), jnp.int32),
             top_lo=jnp.zeros((B,), jnp.int32),
             top_hi=jnp.zeros((B,), jnp.int32),
@@ -365,6 +416,11 @@ def build_aligner(spec: WfSpec):
             st[nm] = jnp.where(ok3, jnp.take_along_axis(st[nm], gidx3, axis=2), NEG)
         for nm in TOPS + (TOPSF if is_p1 else ()):
             st[nm] = jnp.where(ok, jnp.take_along_axis(st[nm], idxc, axis=1), NEG)
+        # the match-window cache is per-diagonal: roll it too; rolled-in
+        # slots are unknown -> all-miss
+        st["ebase"] = jnp.where(ok, jnp.take_along_axis(st["ebase"], idxc, axis=1),
+                                0x3FFFFFFF)
+        st["ex"] = jnp.where(ok, jnp.take_along_axis(st["ex"], idxc, axis=1), 0)
         st["anc"] = st["anc"] + shift
         return st
 
@@ -431,8 +487,13 @@ def build_aligner(spec: WfSpec):
         if os.environ.get("MWF_DBG_NOEXT"):  # perf debugging only
             k_new = k_old + jnp.where(elig, jnp.bitwise_and(k_old, 1), 0)
         else:
-            k_new = extend_band(t_words, q_words, tl, ql, k_old, d, elig)
+            k_new, eb, exw, stats = extend_band(t_words, q_words, tl, ql, k_old,
+                                                d, elig, st["ebase"], st["ex"])
             k_new = jnp.where(elig, k_new, k_old)
+            st = dict(st)
+            st["ebase"], st["ex"] = eb, exw
+            if "ext_stats" in st and stats is not None:  # env-gated counters
+                st["ext_stats"] = st["ext_stats"] + jnp.stack(stats)
 
         # --- 2. termination: only diagonal d_end = ql - tl can finish
         d_end = ql - tl
@@ -598,8 +659,11 @@ def build_aligner(spec: WfSpec):
         return st
 
     def run(t_words, q_words, tl, ql, seg_s, seg_d, n_seg):
+        import os
         st = init_state(tl, ql)
         st["tw"], st["qw"] = t_words, q_words
+        if os.environ.get("MWF_DBG_EXTSTATS"):
+            st["ext_stats"] = jnp.zeros((4,), jnp.int32)
 
         def cond(st):
             alive = ~(st["done"] | st["stopped"] | st["overflow"])
@@ -619,6 +683,8 @@ def build_aligner(spec: WfSpec):
         if is_p1:
             out.update(snap_x=st["snap_x"], snap_anc=st["snap_anc"],
                        snap_cnt=st["snap_cnt"], last_ptr=st["last_ptr"])
+        if "ext_stats" in st:
+            out["ext_stats"] = st["ext_stats"]
         return out
 
     return run

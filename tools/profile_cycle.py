@@ -36,9 +36,12 @@ def mk_inputs(spec, n, div, seed=0):
 
 
 def run(tag, B, W, S_CAP, n, div, mode=MODE_SCORE, reps=3):
+    import os
     spec = WfSpec(B=B, W=W, S_CAP=S_CAP, LT=max(128, 1 << (n - 1).bit_length()),
                   LQ=max(128, 1 << (n - 1).bit_length()),
-                  x=4, o1=4, e1=2, o2=15, e2=1, mode=mode)
+                  x=4, o1=4, e1=2, o2=15, e2=1, mode=mode,
+                  kw=int(os.environ.get("MWF_KW", "4")),
+                  a_active=int(os.environ.get("MWF_A", "64")))
     fn = get_aligner(spec)
     args = mk_inputs(spec, n, div)
     out = jax.block_until_ready(fn(*args))
