@@ -179,19 +179,21 @@ def build_aligner(spec: WfSpec):
         ctz = lax.population_count(jnp.bitwise_and(~u, u - jnp.uint32(1)))
         return jnp.right_shift(ctz, LOGB).astype(jnp.int32)
 
-    def extend_band(t_words, q_words, tl, ql, k, d, elig, ebase, ex):
+    def extend_band(t_words, q_words, tl, ql, k, d, elig, ebase, exw):
         """Vectorized LCP extension of all eligible diagonals.
 
-        k, d, elig, ebase, ex: [B, W].  Returns (k, ebase, ex).
-        Reference: wf_extend1_padded (miniwfa.c:212-226); the per-diagonal
-        advance is capped at the matrix edge instead of using sentinels.
+        k, d, elig: [B, W]; ebase: [B, W]; exw: tuple of KW [B, W] planes.
+        Returns (k, ebase, exw).  Reference: wf_extend1_padded
+        (miniwfa.c:212-226); the per-diagonal advance is capped at the
+        matrix edge instead of using sentinels.
 
         TPU-native design — the match-window cache: for each window slot
-        (= diagonal within the anchor epoch) the cache holds ``ex``, the
-        packed XOR word of target-vs-query for the CPW characters starting
-        at target position ``ebase`` on that diagonal.  Sequences never
-        change, so the cache never invalidates; a probe landing inside the
-        window resolves DENSELY by shifting ``ex`` — no memory access.
+        (= diagonal within the anchor epoch) the cache holds the KW packed
+        XOR words of target-vs-query for the KW*CPW characters starting at
+        target position ``ebase`` on that diagonal (exactly the words the
+        last miss probe fetched).  Sequences never change, so the cache
+        never invalidates; a probe landing inside the window resolves
+        DENSELY by selecting+shifting a cached word — no memory access.
         Probes on this chip cost ~30-50us of FIXED time per indexed op
         plus ~5-8ns/element, so only cache *misses* touch memory,
         compacted via one top_k + one stacked gather + one combined t&q
@@ -203,39 +205,77 @@ def build_aligner(spec: WfSpec):
         i0 = d + k
         cap = jnp.minimum(tl[:, None] - 1 - k, ql[:, None] - 1 - i0)
         cap = jnp.where(elig, jnp.maximum(cap, 0), 0)
-        # dense window resolution
+        # dense window resolution: select cached word off>>LOGC, then shift
         off = pos - ebase
-        in_win = elig & (off >= 0) & (off < CPW)
-        offc = jnp.clip(off, 0, CPW - 1)
-        x_sh = jnp.right_shift(ex.astype(jnp.uint32),
-                               (BITS * offc).astype(jnp.uint32))
-        runw = jnp.where(x_sh == 0, CPW - offc, ctz_chars(x_sh))
+        in_win = elig & (off >= 0) & (off < KW * CPW)
+        offc = jnp.clip(off, 0, KW * CPW - 1)
+        j = jnp.right_shift(offc, LOGC)
+        xw = exw[KW - 1]
+        for jj in range(KW - 2, -1, -1):
+            xw = jnp.where(j == jj, exw[jj], xw)
+        r = jnp.bitwise_and(offc, CPW - 1)
+        x_sh = jnp.right_shift(xw.astype(jnp.uint32),
+                               (BITS * r).astype(jnp.uint32))
+        runw = jnp.where(x_sh == 0, CPW - r, ctz_chars(x_sh))
         adv = jnp.minimum(runw, cap)
         k = jnp.where(in_win, k + adv, k)
+        # a word-boundary stop without a mismatch is incomplete: the next
+        # cached word may continue the run, so fall through to re-resolve
+        # (cheap: becomes a hit in the next word unless past the window)
         complete = (x_sh != 0) | (adv >= cap)
         miss = elig & ~(in_win & complete)
+        # one dense continuation pass for word-boundary crossers still in
+        # the window (long cached runs); whatever remains goes to the
+        # compacted miss loop
+        pos2 = k + 1
+        off2 = pos2 - ebase
+        again = miss & (off2 > 0) & (off2 < KW * CPW)
+        off2c = jnp.clip(off2, 0, KW * CPW - 1)
+        j2 = jnp.right_shift(off2c, LOGC)
+        xw2 = exw[KW - 1]
+        for jj in range(KW - 2, -1, -1):
+            xw2 = jnp.where(j2 == jj, exw[jj], xw2)
+        r2 = jnp.bitwise_and(off2c, CPW - 1)
+        x_sh2 = jnp.right_shift(xw2.astype(jnp.uint32),
+                                (BITS * r2).astype(jnp.uint32))
+        runw2 = jnp.where(x_sh2 == 0, CPW - r2, ctz_chars(x_sh2))
+        capr = jnp.minimum(tl[:, None] - 1 - k, ql[:, None] - 1 - (d + k))
+        capr = jnp.where(again, jnp.maximum(capr, 0), 0)
+        adv2 = jnp.minimum(runw2, capr)
+        k = jnp.where(again, k + adv2, k)
+        complete2 = (x_sh2 != 0) | (adv2 >= capr)
+        miss = miss & ~(again & complete2)
+
         import os
         stats = None
         if os.environ.get("MWF_DBG_EXTSTATS"):
+            big = jnp.int32(0x3FFFFFFF)
+            pmax = jnp.max(jnp.where(elig, pos, -big), axis=1)
+            pmin = jnp.min(jnp.where(elig, pos, big), axis=1)
+            span = jnp.sum(jnp.where(jnp.any(elig, axis=1), pmax - pmin, 0))
             stats = (jnp.sum(elig.astype(jnp.int32)),
                      jnp.sum(miss.astype(jnp.int32)),
                      jnp.sum((elig & (off < 0)).astype(jnp.int32)),
-                     jnp.sum((elig & (off >= CPW)).astype(jnp.int32)))
+                     span)
 
         arKW = jnp.arange(KW, dtype=jnp.int32)[None, None, :] * CPW
 
         def cond(c):
             return jnp.any(c[3])
 
+        NSTK = KW + 3
+
         def body(c):
-            k, eb, ex, miss = c
+            k, eb, exw, miss = c
             vals, sel = lax.top_k(miss.astype(jnp.int32), A)   # [B, A]
             valid = vals > 0
             # one stacked gather for all per-slot state
-            stacked = jnp.stack([k, eb, ex, miss.astype(jnp.int32)], axis=1)
-            sel4 = jnp.broadcast_to(sel[:, None, :], (B, 4, A))
-            got = jnp.take_along_axis(stacked, sel4, axis=2)
-            ksel, eb_old, ex_old, ms_old = (got[:, j] for j in range(4))
+            stacked = jnp.stack([k, eb, *exw, miss.astype(jnp.int32)], axis=1)
+            selN = jnp.broadcast_to(sel[:, None, :], (B, NSTK, A))
+            got = jnp.take_along_axis(stacked, selN, axis=2)
+            ksel, eb_old = got[:, 0], got[:, 1]
+            exw_old = [got[:, 2 + j] for j in range(KW)]
+            ms_old = got[:, 2 + KW]
             dsel = d[:, :1] + sel          # d = anc + w, arithmetic not gather
             isel = dsel + ksel
             caps = jnp.minimum(tl[:, None] - 1 - ksel, ql[:, None] - 1 - isel)
@@ -251,36 +291,33 @@ def build_aligner(spec: WfSpec):
             # gather for the first word is worse — both avoided)
             run = jnp.zeros_like(ksel)
             xf = jnp.zeros_like(ksel)
-            nmat = jnp.zeros_like(ksel)    # fully-matching words before stop
             open_ = jnp.ones(ksel.shape, bool)
             for j in range(KW):
                 xj = x[:, :, j]
                 m = xj == 0
                 xf = jnp.where(open_ & ~m, xj, xf)
                 run = run + jnp.where(open_ & m, CPW, 0)
-                nmat = nmat + jnp.where(open_ & m, 1, 0)
                 open_ = open_ & m
             run = run + jnp.where(~open_, ctz_chars(xf), 0)
             adv = jnp.where(valid, jnp.minimum(run, caps), 0)
             knew = ksel + adv
             done = valid & ((run < KW * CPW) | (adv >= caps))
-            # cache the stop word: its XOR and start position (all-match
-            # continuation caches the last all-zero word, which future
-            # probes resolve as matches-then-miss — still exact)
-            jsel = jnp.minimum(nmat, KW - 1)
-            eb_new = jnp.where(valid, psel + jsel * CPW, eb_old)
-            ex_new = jnp.where(valid, xf, ex_old)
+            # cache the whole probed window: KW XOR words from psel
+            eb_new = jnp.where(valid, psel, eb_old)
+            exw_new = [jnp.where(valid, x[:, :, j], exw_old[j])
+                       for j in range(KW)]
             new = jnp.stack(
-                [jnp.where(valid, knew, ksel), eb_new, ex_new,
+                [jnp.where(valid, knew, ksel), eb_new, *exw_new,
                  jnp.where(valid, (valid & ~done).astype(jnp.int32), ms_old)],
                 axis=1)
-            stacked = jnp.put_along_axis(stacked, sel4, new, axis=2,
+            stacked = jnp.put_along_axis(stacked, selN, new, axis=2,
                                          inplace=False)
-            return (stacked[:, 0], stacked[:, 1], stacked[:, 2],
-                    stacked[:, 3] != 0)
+            return (stacked[:, 0], stacked[:, 1],
+                    tuple(stacked[:, 2 + j] for j in range(KW)),
+                    stacked[:, 2 + KW] != 0)
 
-        k, ebase, ex, _ = lax.while_loop(cond, body, (k, ebase, ex, miss))
-        return k, ebase, ex, stats
+        k, ebase, exw, _ = lax.while_loop(cond, body, (k, ebase, exw, miss))
+        return k, ebase, exw, stats
 
     def transition_values(src):
         """The 5-state dual-affine recurrence + 7-bit tb byte.
@@ -369,7 +406,7 @@ def build_aligner(spec: WfSpec):
         st.update(
             # match-window cache (see extend_band); init = all-miss
             ebase=jnp.full((B, W), 0x3FFFFFFF, jnp.int32),
-            ex=jnp.zeros((B, W), jnp.int32),
+            **{f"ex{j}": jnp.zeros((B, W), jnp.int32) for j in range(spec.kw)},
         )
         st.update(
             anc=jnp.full((B,), -(W // 2), jnp.int32),
@@ -420,7 +457,9 @@ def build_aligner(spec: WfSpec):
         # slots are unknown -> all-miss
         st["ebase"] = jnp.where(ok, jnp.take_along_axis(st["ebase"], idxc, axis=1),
                                 0x3FFFFFFF)
-        st["ex"] = jnp.where(ok, jnp.take_along_axis(st["ex"], idxc, axis=1), 0)
+        for j in range(KW):
+            st[f"ex{j}"] = jnp.where(
+                ok, jnp.take_along_axis(st[f"ex{j}"], idxc, axis=1), 0)
         st["anc"] = st["anc"] + shift
         return st
 
@@ -487,11 +526,14 @@ def build_aligner(spec: WfSpec):
         if os.environ.get("MWF_DBG_NOEXT"):  # perf debugging only
             k_new = k_old + jnp.where(elig, jnp.bitwise_and(k_old, 1), 0)
         else:
+            exw_in = tuple(st[f"ex{j}"] for j in range(KW))
             k_new, eb, exw, stats = extend_band(t_words, q_words, tl, ql, k_old,
-                                                d, elig, st["ebase"], st["ex"])
+                                                d, elig, st["ebase"], exw_in)
             k_new = jnp.where(elig, k_new, k_old)
             st = dict(st)
-            st["ebase"], st["ex"] = eb, exw
+            st["ebase"] = eb
+            for j in range(KW):
+                st[f"ex{j}"] = exw[j]
             if "ext_stats" in st and stats is not None:  # env-gated counters
                 st["ext_stats"] = st["ext_stats"] + jnp.stack(stats)
 
