@@ -43,9 +43,9 @@ def mutate(rng: random.Random, seq: str, sub: float, ind: float,
 
 
 def main() -> int:
-    n = int(os.environ.get("MWF_BENCH_N", 20000))
-    b = int(os.environ.get("MWF_BENCH_B", 32))
-    reps = int(os.environ.get("MWF_BENCH_REPS", 3))
+    n = int(os.environ.get("MWF_BENCH_N", 32000))
+    b = int(os.environ.get("MWF_BENCH_B", 8))
+    reps = int(os.environ.get("MWF_BENCH_REPS", 2))
 
     rng = random.Random(7)
     pairs = []
