@@ -17,8 +17,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..options import Options
 from ..ops import pack
-from ..ops.wavefront import MODE_SCORE, WfSpec, get_sharded_aligner
+from ..ops.wavefront import MODE_SCORE, MODE_TB, WfSpec, get_sharded_aligner
 from ..models.exact import Result, _Buckets, _buckets_for, _cpw_for, as_bytes
+from ..models import traceback as tbk
 
 
 def _next_mult(n: int, m: int) -> int:
@@ -28,12 +29,12 @@ def _next_mult(n: int, m: int) -> int:
 def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
                         mesh: Mesh, *, w0: int = 512, s0: int = 512,
                         axis: str = "data") -> List[Result]:
-    """Score-mode batch alignment sharded over a mesh.
+    """Batch alignment sharded over a mesh (score or CIGAR mode).
 
-    CIGAR modes run through the same engine; for multi-chip CIGAR the
-    traceback buffers are fetched per shard (host-side walk is per pair
-    anyway).  Exposed initially for the score/throughput path, which is
-    the scaling benchmark per BASELINE.md."""
+    Lanes shard across the mesh axis; every device runs its own wavefront
+    while-loop; per-lane outputs (scores, counters, traceback buffers)
+    come back sharded and the host walks CIGARs per pair — the same
+    decode pipeline as the single-device path."""
     ts_list = [as_bytes(t) for t, _ in pairs]
     qs_list = [as_bytes(q) for _, q in pairs]
     n = len(pairs)
@@ -49,7 +50,8 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
         spec = WfSpec(
             B=B, W=W, S_CAP=S_CAP, LT=bk.LT, LQ=bk.LQ,
             x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
-            mode=MODE_SCORE, cpw=_cpw_for(ts_list, qs_list),
+            mode=MODE_TB if opt.cigar else MODE_SCORE,
+            cpw=_cpw_for(ts_list, qs_list),
             max_s=opt.max_s, max_iter=opt.max_iter)
         fn = get_sharded_aligner(spec, mesh, axis)
         pad_t = [ts_list[i] for i in idx] + [b""] * (B - len(idx))
@@ -71,14 +73,27 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
         final_s = np.asarray(out["final_s"])[: len(idx)]
         ni_lo = np.asarray(out["n_iter_lo"])[: len(idx)]
         ni_hi = np.asarray(out["n_iter_hi"])[: len(idx)]
+        tb_bits = tb_anc = None
         retry = []
         for j, i in enumerate(idx):
             if ovf_band[j] or ovf_scap[j]:
                 retry.append(i)
                 continue
             n_iter = (int(ni_hi[j]) << 30) | int(ni_lo[j])
-            results[i] = Result(s=-1 if stopped[j] else int(final_s[j]),
-                                cigar=None, n_iter=n_iter)
+            if stopped[j]:
+                results[i] = Result(s=-1, cigar=None, n_iter=n_iter)
+                continue
+            s_fin = int(final_s[j])
+            cig = None
+            if opt.cigar:
+                if tb_bits is None:
+                    smax = max(int(final_s.max()), 0)
+                    tb_bits = np.asarray(jax.device_get(out["tb_bits"][:, :smax]))
+                    tb_anc = np.asarray(jax.device_get(out["tb_anc"][:, :smax]))
+                cig = tbk.traceback_walk(opt, tb_bits[j], tb_anc[j], 0,
+                                         ts_list[i], qs_list[i], s_fin,
+                                         int(out["last_state"][j]))
+            results[i] = Result(s=s_fin, cigar=cig, n_iter=n_iter)
         if retry:
             if ovf_band.any():
                 W = min(W * 4, bk.W_full)

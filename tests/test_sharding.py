@@ -44,3 +44,22 @@ def test_sharded_scores_match_goldens(goldens):
     exp = goldens["runs"]["score"]
     for (i, c), r in zip(cases, res):
         assert r.s == exp[i]["s"], c["name"]
+
+
+def test_sharded_cigar_matches_single(goldens):
+    """CIGAR mode through the sharded path must equal the single-device
+    path byte-for-byte."""
+    from miniwfa_tpu import Options
+    from miniwfa_tpu.models.exact import align_batch
+    from miniwfa_tpu.parallel.batch import align_batch_sharded
+    from miniwfa_tpu.parallel.mesh import make_mesh
+
+    cases = [c for c in goldens["cases"]
+             if max(len(c["t"]), len(c["q"])) <= 256][:16]
+    pairs = [(c["t"], c["q"]) for c in cases]
+    opt = Options(cigar=True)
+    sharded = align_batch_sharded(pairs, opt, make_mesh())
+    single = align_batch(pairs, opt)
+    for c, a, b in zip(cases, sharded, single):
+        assert a.s == b.s, c["name"]
+        assert a.cigar_str == b.cigar_str, c["name"]
