@@ -148,6 +148,30 @@ def build_aligner(spec: WfSpec):
     def sh_p1(a):  # value at window pos w+1 (diagonal d+1)
         return jnp.concatenate([a[:, 1:], jnp.full((B, 1), NEG, a.dtype)], 1)
 
+    def pair_probe(tq_words, pt, pq, live):
+        """One combined gather for the t-side and q-side probe words of the
+        same positions: tq_words is concat(t_words, q_words) along the word
+        axis, so this halves the number of indexed ops per miss round (the
+        dominant fixed cost on this chip).  Returns (wt, wq)."""
+        def side_idx(pos, nw, base):
+            way = jnp.bitwise_and(pos, CPW - 1)
+            idx = way * nw + jnp.right_shift(pos, LOGC)
+            bad = (idx < 0) | (idx >= CPW * nw)
+            return idx + base, bad
+        it, bt = side_idx(pt, NWT, 0)
+        iq, bq = side_idx(pq, NWQ, CPW * NWT)
+        idx = jnp.concatenate([it.reshape(B, -1), iq.reshape(B, -1)], axis=1)
+        bad = jnp.concatenate([bt.reshape(B, -1), bq.reshape(B, -1)], axis=1)
+        lv = live.reshape(B, -1)
+        bad = bad | ~jnp.concatenate([lv, lv], axis=1)
+        n = CPW * (NWT + NWQ)
+        spread = jnp.mod(
+            jax.lax.broadcasted_iota(jnp.int32, idx.shape, dimension=1), n)
+        idx = jnp.where(bad, spread, idx)
+        g = jnp.take_along_axis(tq_words, idx, axis=1)
+        m = it.reshape(B, -1).shape[1]
+        return (g[:, :m].reshape(pt.shape), g[:, m:].reshape(pq.shape))
+
     def word_probe(words, nw, pos, live=None):
         """Gather the packed word of CPW chars starting at char ``pos``.
         pos: int32 [B, ...]; ``live`` masks positions whose result is used.
@@ -179,7 +203,7 @@ def build_aligner(spec: WfSpec):
         ctz = lax.population_count(jnp.bitwise_and(~u, u - jnp.uint32(1)))
         return jnp.right_shift(ctz, LOGB).astype(jnp.int32)
 
-    def extend_band(t_words, q_words, tl, ql, k, d, elig, ebase, exw):
+    def extend_band(tq_words, tl, ql, k, d, elig, ebase, exw):
         """Vectorized LCP extension of all eligible diagonals.
 
         k, d, elig: [B, W]; ebase: [B, W]; exw: tuple of KW [B, W] planes.
@@ -284,8 +308,8 @@ def build_aligner(spec: WfSpec):
             pt = psel[:, :, None] + arKW
             pq = (isel + 1)[:, :, None] + arKW
             live3 = jnp.broadcast_to(valid[:, :, None], pt.shape)
-            x = jnp.bitwise_xor(word_probe(t_words, NWT, pt, live=live3),
-                                word_probe(q_words, NWQ, pq, live=live3))
+            wt, wq = pair_probe(tq_words, pt, pq, live3)
+            x = jnp.bitwise_xor(wt, wq)
             # first-mismatch scan, statically unrolled over the KW words
             # (cumprod lowers to a slow reduce_window on TPU; a minor-axis
             # gather for the first word is worse — both avoided)
@@ -509,10 +533,6 @@ def build_aligner(spec: WfSpec):
         return st
 
     def cycle(st, tl, ql, seg_s, seg_d, n_seg):
-        # the packed sequences ride in the carry unchanged: carried tensors
-        # get VMEM residency, which keeps the extension gathers on the fast
-        # vector path instead of serial HBM random access
-        t_words, q_words = st["tw"], st["qw"]
         t = st["t"]
         act0 = ~(st["done"] | st["stopped"] | st["overflow"])
 
@@ -527,7 +547,7 @@ def build_aligner(spec: WfSpec):
             k_new = k_old + jnp.where(elig, jnp.bitwise_and(k_old, 1), 0)
         else:
             exw_in = tuple(st[f"ex{j}"] for j in range(KW))
-            k_new, eb, exw, stats = extend_band(t_words, q_words, tl, ql, k_old,
+            k_new, eb, exw, stats = extend_band(st["tqw"], tl, ql, k_old,
                                                 d, elig, st["ebase"], exw_in)
             k_new = jnp.where(elig, k_new, k_old)
             st = dict(st)
@@ -703,7 +723,9 @@ def build_aligner(spec: WfSpec):
     def run(t_words, q_words, tl, ql, seg_s, seg_d, n_seg):
         import os
         st = init_state(tl, ql)
-        st["tw"], st["qw"] = t_words, q_words
+        # packed sequences ride in the carry unchanged, pre-concatenated so
+        # a miss round needs ONE combined gather for both sides
+        st["tqw"] = jnp.concatenate([t_words, q_words], axis=1)
         if os.environ.get("MWF_DBG_EXTSTATS"):
             st["ext_stats"] = jnp.zeros((4,), jnp.int32)
 
