@@ -203,7 +203,7 @@ def build_aligner(spec: WfSpec):
         ctz = lax.population_count(jnp.bitwise_and(~u, u - jnp.uint32(1)))
         return jnp.right_shift(ctz, LOGB).astype(jnp.int32)
 
-    def extend_band(tq_words, tl, ql, k, d, elig, ebase, exw):
+    def extend_band(tq_words, tl, ql, k, d, elig, ebase, exw, ebase2, exw2):
         """Vectorized LCP extension of all eligible diagonals.
 
         k, d, elig: [B, W]; ebase: [B, W]; exw: tuple of KW [B, W] planes.
@@ -225,61 +225,56 @@ def build_aligner(spec: WfSpec):
         """
         A = spec.a_active
         BITS = 32 // CPW
-        pos = k + 1
-        i0 = d + k
-        cap = jnp.minimum(tl[:, None] - 1 - k, ql[:, None] - 1 - i0)
-        cap = jnp.where(elig, jnp.maximum(cap, 0), 0)
-        # dense window resolution: select cached word off>>LOGC, then shift
-        off = pos - ebase
-        in_win = elig & (off >= 0) & (off < KW * CPW)
-        offc = jnp.clip(off, 0, KW * CPW - 1)
-        j = jnp.right_shift(offc, LOGC)
-        xw = exw[KW - 1]
-        for jj in range(KW - 2, -1, -1):
-            xw = jnp.where(j == jj, exw[jj], xw)
-        r = jnp.bitwise_and(offc, CPW - 1)
-        x_sh = jnp.right_shift(xw.astype(jnp.uint32),
-                               (BITS * r).astype(jnp.uint32))
-        runw = jnp.where(x_sh == 0, CPW - r, ctz_chars(x_sh))
-        adv = jnp.minimum(runw, cap)
-        k = jnp.where(in_win, k + adv, k)
-        # a word-boundary stop without a mismatch is incomplete: the next
-        # cached word may continue the run, so fall through to re-resolve
-        # (cheap: becomes a hit in the next word unless past the window)
-        complete = (x_sh != 0) | (adv >= cap)
-        miss = elig & ~(in_win & complete)
-        # one dense continuation pass for word-boundary crossers still in
-        # the window (long cached runs); whatever remains goes to the
-        # compacted miss loop
-        pos2 = k + 1
-        off2 = pos2 - ebase
-        again = miss & (off2 > 0) & (off2 < KW * CPW)
-        off2c = jnp.clip(off2, 0, KW * CPW - 1)
-        j2 = jnp.right_shift(off2c, LOGC)
-        xw2 = exw[KW - 1]
-        for jj in range(KW - 2, -1, -1):
-            xw2 = jnp.where(j2 == jj, exw[jj], xw2)
-        r2 = jnp.bitwise_and(off2c, CPW - 1)
-        x_sh2 = jnp.right_shift(xw2.astype(jnp.uint32),
-                                (BITS * r2).astype(jnp.uint32))
-        runw2 = jnp.where(x_sh2 == 0, CPW - r2, ctz_chars(x_sh2))
-        capr = jnp.minimum(tl[:, None] - 1 - k, ql[:, None] - 1 - (d + k))
-        capr = jnp.where(again, jnp.maximum(capr, 0), 0)
-        adv2 = jnp.minimum(runw2, capr)
-        k = jnp.where(again, k + adv2, k)
-        complete2 = (x_sh2 != 0) | (adv2 >= capr)
-        miss = miss & ~(again & complete2)
+
+        def resolve(k, elig):
+            """One dense resolution pass over both cached ways: select the
+            covering way, then the word off>>LOGC within it, then shift."""
+            pos = k + 1
+            cap = jnp.minimum(tl[:, None] - 1 - k, ql[:, None] - 1 - (d + k))
+            cap = jnp.where(elig, jnp.maximum(cap, 0), 0)
+            off_a = pos - ebase
+            off_b = pos - ebase2
+            hit_a = (off_a >= 0) & (off_a < KW * CPW)
+            hit_b = (off_b >= 0) & (off_b < KW * CPW)
+            off = jnp.where(hit_a, off_a, off_b)
+            in_win = elig & (hit_a | hit_b)
+            offc = jnp.clip(off, 0, KW * CPW - 1)
+            j = jnp.right_shift(offc, LOGC)
+            xw = jnp.where(hit_a, exw[KW - 1], exw2[KW - 1])
+            for jj in range(KW - 2, -1, -1):
+                xw = jnp.where(j == jj,
+                               jnp.where(hit_a, exw[jj], exw2[jj]), xw)
+            r = jnp.bitwise_and(offc, CPW - 1)
+            x_sh = jnp.right_shift(xw.astype(jnp.uint32),
+                                   (BITS * r).astype(jnp.uint32))
+            runw = jnp.where(x_sh == 0, CPW - r, ctz_chars(x_sh))
+            adv = jnp.minimum(runw, cap)
+            k = jnp.where(in_win, k + adv, k)
+            complete = (x_sh != 0) | (adv >= cap)
+            return k, elig & ~(in_win & complete)
+
+        k, miss = resolve(k, elig)
+        # second dense pass: word-boundary crossers continue into the next
+        # cached word (possibly in the other way); remaining cells miss
+        k, miss = resolve(k, miss)
+        # LRU rotation, DENSE and outside the miss loop (a scattered 2-way
+        # rotation doubles the per-round scatter and nets out slower):
+        # slots about to re-probe save their current way-A window as way B,
+        # so the two ways track the two position streams each diagonal
+        # alternates between (own mismatch chain vs trailing gap fans)
+        ebase2 = jnp.where(miss, ebase, ebase2)
+        exw2 = tuple(jnp.where(miss, a, b) for a, b in zip(exw, exw2))
 
         import os
         stats = None
         if os.environ.get("MWF_DBG_EXTSTATS"):
             big = jnp.int32(0x3FFFFFFF)
-            pmax = jnp.max(jnp.where(elig, pos, -big), axis=1)
-            pmin = jnp.min(jnp.where(elig, pos, big), axis=1)
+            pmax = jnp.max(jnp.where(elig, k + 1, -big), axis=1)
+            pmin = jnp.min(jnp.where(elig, k + 1, big), axis=1)
             span = jnp.sum(jnp.where(jnp.any(elig, axis=1), pmax - pmin, 0))
             stats = (jnp.sum(elig.astype(jnp.int32)),
                      jnp.sum(miss.astype(jnp.int32)),
-                     jnp.sum((elig & (off < 0)).astype(jnp.int32)),
+                     jnp.sum((miss & (k + 1 < ebase)).astype(jnp.int32)),
                      span)
 
         arKW = jnp.arange(KW, dtype=jnp.int32)[None, None, :] * CPW
@@ -341,7 +336,7 @@ def build_aligner(spec: WfSpec):
                     stacked[:, 2 + KW] != 0)
 
         k, ebase, exw, _ = lax.while_loop(cond, body, (k, ebase, exw, miss))
-        return k, ebase, exw, stats
+        return k, ebase, exw, ebase2, exw2, stats
 
     def transition_values(src):
         """The 5-state dual-affine recurrence + 7-bit tb byte.
@@ -428,9 +423,11 @@ def build_aligner(spec: WfSpec):
         # score-0 top: H[d=0] = -1 (reference miniwfa.c:119)
         st["tH"] = st["tH"].at[:, W // 2].set(-1)
         st.update(
-            # match-window cache (see extend_band); init = all-miss
+            # 2-way match-window cache (see extend_band); init = all-miss
             ebase=jnp.full((B, W), 0x3FFFFFFF, jnp.int32),
+            ebase2=jnp.full((B, W), 0x3FFFFFFF, jnp.int32),
             **{f"ex{j}": jnp.zeros((B, W), jnp.int32) for j in range(spec.kw)},
+            **{f"ex2_{j}": jnp.zeros((B, W), jnp.int32) for j in range(spec.kw)},
         )
         st.update(
             anc=jnp.full((B,), -(W // 2), jnp.int32),
@@ -479,11 +476,13 @@ def build_aligner(spec: WfSpec):
             st[nm] = jnp.where(ok, jnp.take_along_axis(st[nm], idxc, axis=1), NEG)
         # the match-window cache is per-diagonal: roll it too; rolled-in
         # slots are unknown -> all-miss
-        st["ebase"] = jnp.where(ok, jnp.take_along_axis(st["ebase"], idxc, axis=1),
-                                0x3FFFFFFF)
+        for nm in ("ebase", "ebase2"):
+            st[nm] = jnp.where(ok, jnp.take_along_axis(st[nm], idxc, axis=1),
+                               0x3FFFFFFF)
         for j in range(KW):
-            st[f"ex{j}"] = jnp.where(
-                ok, jnp.take_along_axis(st[f"ex{j}"], idxc, axis=1), 0)
+            for nm in (f"ex{j}", f"ex2_{j}"):
+                st[nm] = jnp.where(
+                    ok, jnp.take_along_axis(st[nm], idxc, axis=1), 0)
         st["anc"] = st["anc"] + shift
         return st
 
@@ -547,13 +546,16 @@ def build_aligner(spec: WfSpec):
             k_new = k_old + jnp.where(elig, jnp.bitwise_and(k_old, 1), 0)
         else:
             exw_in = tuple(st[f"ex{j}"] for j in range(KW))
-            k_new, eb, exw, stats = extend_band(st["tqw"], tl, ql, k_old,
-                                                d, elig, st["ebase"], exw_in)
+            exw2_in = tuple(st[f"ex2_{j}"] for j in range(KW))
+            k_new, eb, exw, eb2, exw2, stats = extend_band(
+                st["tqw"], tl, ql, k_old, d, elig, st["ebase"], exw_in,
+                st["ebase2"], exw2_in)
             k_new = jnp.where(elig, k_new, k_old)
             st = dict(st)
-            st["ebase"] = eb
+            st["ebase"], st["ebase2"] = eb, eb2
             for j in range(KW):
                 st[f"ex{j}"] = exw[j]
+                st[f"ex2_{j}"] = exw2[j]
             if "ext_stats" in st and stats is not None:  # env-gated counters
                 st["ext_stats"] = st["ext_stats"] + jnp.stack(stats)
 
