@@ -279,13 +279,15 @@ def build_aligner(spec: WfSpec):
 
         arKW = jnp.arange(KW, dtype=jnp.int32)[None, None, :] * CPW
 
+        MAXR = 2   # bulk rounds; leftovers go to the straggler phase below
+
         def cond(c):
-            return jnp.any(c[3])
+            return jnp.any(c[3]) & (c[4] < MAXR)
 
         NSTK = KW + 3
 
         def body(c):
-            k, eb, exw, miss = c
+            k, eb, exw, miss, rnd = c
             vals, sel = lax.top_k(miss.astype(jnp.int32), A)   # [B, A]
             valid = vals > 0
             # one stacked gather for all per-slot state
@@ -333,9 +335,60 @@ def build_aligner(spec: WfSpec):
                                          inplace=False)
             return (stacked[:, 0], stacked[:, 1],
                     tuple(stacked[:, 2 + j] for j in range(KW)),
-                    stacked[:, 2 + KW] != 0)
+                    stacked[:, 2 + KW] != 0, rnd + 1)
 
-        k, ebase, exw, _ = lax.while_loop(cond, body, (k, ebase, exw, miss))
+        k, ebase, exw, miss, _ = lax.while_loop(
+            cond, body, (k, ebase, exw, miss, jnp.int32(0)))
+
+        # --- straggler phase: the few cells still missing are mostly long
+        # match runs crossing many probe windows; give them big steps (KW2
+        # words each) in few slots, with no cache writes (their future
+        # probes land far away anyway)
+        A2, KW2 = max(A // 8, 4), 4 * KW
+        arKW2 = jnp.arange(KW2, dtype=jnp.int32)[None, None, :] * CPW
+
+        def cond2(c):
+            return jnp.any(c[1])
+
+        def body2(c):
+            k, miss = c
+            vals, sel = lax.top_k(miss.astype(jnp.int32), A2)   # [B, A2]
+            valid = vals > 0
+            stacked = jnp.stack([k, miss.astype(jnp.int32)], axis=1)
+            sel2 = jnp.broadcast_to(sel[:, None, :], (B, 2, A2))
+            got = jnp.take_along_axis(stacked, sel2, axis=2)
+            ksel, ms_old = got[:, 0], got[:, 1]
+            dsel = d[:, :1] + sel
+            isel = dsel + ksel
+            caps = jnp.minimum(tl[:, None] - 1 - ksel, ql[:, None] - 1 - isel)
+            caps = jnp.where(valid, jnp.maximum(caps, 0), 0)
+            pt = (ksel + 1)[:, :, None] + arKW2
+            pq = (isel + 1)[:, :, None] + arKW2
+            live3 = jnp.broadcast_to(valid[:, :, None], pt.shape)
+            wt, wq = pair_probe(tq_words, pt, pq, live3)
+            x = jnp.bitwise_xor(wt, wq)
+            run = jnp.zeros_like(ksel)
+            xf = jnp.zeros_like(ksel)
+            open_ = jnp.ones(ksel.shape, bool)
+            for j in range(KW2):
+                xj = x[:, :, j]
+                m = xj == 0
+                xf = jnp.where(open_ & ~m, xj, xf)
+                run = run + jnp.where(open_ & m, CPW, 0)
+                open_ = open_ & m
+            run = run + jnp.where(~open_, ctz_chars(xf), 0)
+            adv = jnp.where(valid, jnp.minimum(run, caps), 0)
+            knew = ksel + adv
+            done = valid & ((run < KW2 * CPW) | (adv >= caps))
+            new = jnp.stack(
+                [jnp.where(valid, knew, ksel),
+                 jnp.where(valid, (valid & ~done).astype(jnp.int32), ms_old)],
+                axis=1)
+            stacked = jnp.put_along_axis(stacked, sel2, new, axis=2,
+                                         inplace=False)
+            return stacked[:, 0], stacked[:, 1] != 0
+
+        k, _ = lax.while_loop(cond2, body2, (k, miss))
         return k, ebase, exw, ebase2, exw2, stats
 
     def transition_values(src):
