@@ -279,7 +279,11 @@ def build_aligner(spec: WfSpec):
 
         arKW = jnp.arange(KW, dtype=jnp.int32)[None, None, :] * CPW
 
-        MAXR = 2   # bulk rounds; leftovers go to the straggler phase below
+        import os as _os
+        # bulk rounds before the straggler phase: misses scale with the
+        # band window (~0.14*W at 2% divergence), so allow ~3 rounds per
+        # 1024 window slots (measured optimum at W=512 and W=1024)
+        MAXR = int(_os.environ.get("MWF_MAXR", str(max(1, 3 * W // 1024))))
 
         def cond(c):
             return jnp.any(c[3]) & (c[4] < MAXR)
@@ -344,7 +348,8 @@ def build_aligner(spec: WfSpec):
         # match runs crossing many probe windows; give them big steps (KW2
         # words each) in few slots, with no cache writes (their future
         # probes land far away anyway)
-        A2, KW2 = max(A // 8, 4), 4 * KW
+        A2 = int(_os.environ.get("MWF_A2", str(max(A // 8, 4))))
+        KW2 = int(_os.environ.get("MWF_KW2", str(4 * KW)))
         arKW2 = jnp.arange(KW2, dtype=jnp.int32)[None, None, :] * CPW
 
         def cond2(c):
