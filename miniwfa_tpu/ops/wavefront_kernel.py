@@ -227,7 +227,7 @@ def build_kernel(spec: KSpec):
         for r in (tE1, tF1, tE2, tF2):
             r[:] = jnp.full((WR, 128), NEG, jnp.int32)
         for r in (wta, wtb, wqa, wqb):
-            r[:] = jnp.zeros((128, 128), jnp.int32)
+            r[:] = jnp.zeros(r.shape, jnp.int32)
         baT[:] = jnp.full((WR, 128), BIG, jnp.int32)  # all-miss
         baQ[:] = jnp.full((WR, 128), BIG, jnp.int32)
         pbits[:] = jnp.zeros((WR, 128), jnp.int32)
@@ -255,36 +255,46 @@ def build_kernel(spec: KSpec):
             aQ, hasQ = side(baQ, needQ, jQ)
             baT[:] = jnp.where(hasT, aT * 128, baT[:])
             baQ[:] = jnp.where(hasQ, aQ * 128, baQ[:])
-            # [WR,1] -> lane vector [1,WR] -> broadcast rows [128,128]
-            pad = NTAB - WR
-            if pad:
-                zpad = jnp.zeros((pad, 1), jnp.int32)
-                aTl = jnp.concatenate([aT, zpad], 0)
-                aQl = jnp.concatenate([aQ, zpad], 0)
-            else:
-                aTl, aQl = aT, aQ
-            # NOTE: arithmetic on these broadcast transposes crashes the
-            # TPU compiler ("limits <= dim" abort) — the +1 for the second
-            # window block is applied to the narrow vector BEFORE the
-            # transpose+broadcast.
-            idxT = jnp.broadcast_to(aTl.T, (NTAB, NTAB))
-            idxQ = jnp.broadcast_to(aQl.T, (NTAB, NTAB))
-            idxT1 = jnp.broadcast_to(
-                jnp.minimum(aTl + 1, NTAB - 1).T, (NTAB, NTAB))
-            idxQ1 = jnp.broadcast_to(
-                jnp.minimum(aQl + 1, NTAB - 1).T, (NTAB, NTAB))
-
-            def fill(win_ref, tw, idx):
-                g0 = jnp.take_along_axis(tw[0:64], idx[0:64], axis=1)
-                g1 = jnp.take_along_axis(tw[64:128], idx[64:128], axis=1)
-                win_ref[:] = jnp.concatenate([g0, g1], 0).T   # [128,128]
-
             twt = twt_ref[0]
             twq = twq_ref[0]
-            fill(wta, twt, idxT)
-            fill(wtb, twt, idxT1)
-            fill(wqa, twq, idxQ)
-            fill(wqb, twq, idxQ1)
+            # band rows are re-windowed in 128-row blocks (the gather dim
+            # is capped at one vreg = 128 lanes): [<=128,1] slice of the
+            # per-row block ids -> lane vector -> broadcast rows.
+            for blk in range((WR + NTAB - 1) // NTAB):
+                r0 = blk * NTAB
+                r1 = min(r0 + NTAB, WR)
+                pad = NTAB - (r1 - r0)
+
+                def lanes(a):
+                    a = a[r0:r1]
+                    if pad:
+                        a = jnp.concatenate(
+                            [a, jnp.zeros((pad, 1), jnp.int32)], 0)
+                    return a
+
+                aTl, aQl = lanes(aT), lanes(aQ)
+                # NOTE: arithmetic on these broadcast transposes crashes
+                # the TPU compiler ("limits <= dim" abort) — the +1 for
+                # the second window block is applied to the narrow vector
+                # BEFORE the transpose+broadcast.
+                idxT = jnp.broadcast_to(aTl.T, (NTAB, NTAB))
+                idxQ = jnp.broadcast_to(aQl.T, (NTAB, NTAB))
+                idxT1 = jnp.broadcast_to(
+                    jnp.minimum(aTl + 1, NTAB - 1).T, (NTAB, NTAB))
+                idxQ1 = jnp.broadcast_to(
+                    jnp.minimum(aQl + 1, NTAB - 1).T, (NTAB, NTAB))
+
+                def fill(win_ref, tw, idx):
+                    g0 = jnp.take_along_axis(tw[0:64], idx[0:64], axis=1)
+                    g1 = jnp.take_along_axis(tw[64:128], idx[64:128], axis=1)
+                    # full [128,128] block write: a sublane slice of a
+                    # transpose result aborts the TPU compiler
+                    win_ref[r0:r0 + NTAB] = jnp.concatenate([g0, g1], 0).T
+
+                fill(wta, twt, idxT)
+                fill(wtb, twt, idxT1)
+                fill(wqa, twq, idxQ)
+                fill(wqb, twq, idxQ1)
 
         def probe_side(win_a, win_b, base, pos):
             """16/4-char probe word at char ``pos`` from the row window.
@@ -532,10 +542,10 @@ def build_kernel(spec: KSpec):
         pltpu.VMEM((WR, 128), jnp.int32),        # tF1
         pltpu.VMEM((WR, 128), jnp.int32),        # tE2
         pltpu.VMEM((WR, 128), jnp.int32),        # tF2
-        pltpu.VMEM((128, 128), jnp.int32),       # wta
-        pltpu.VMEM((128, 128), jnp.int32),       # wtb
-        pltpu.VMEM((128, 128), jnp.int32),       # wqa
-        pltpu.VMEM((128, 128), jnp.int32),       # wqb
+        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wta
+        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wtb
+        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wqa
+        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wqb
         pltpu.VMEM((WR, 128), jnp.int32),        # baT
         pltpu.VMEM((WR, 128), jnp.int32),        # baQ
         pltpu.VMEM((WR, 128), jnp.int32),        # pbits
