@@ -114,9 +114,76 @@ def _escalate(bk: _Buckets, ovf_band: bool, ovf_scap: bool) -> _Buckets:
     return _Buckets(bk.B, bk.LT, bk.LQ, W, S, bk.W_full, bk.S_full)
 
 
+def _kernel_eligible(mode: int, bk: _Buckets, ts_list, qs_list,
+                     cpw: int) -> bool:
+    """The fused-cycle Pallas kernel (ops/wavefront_kernel.py) serves
+    SCORE/TB modes on the TPU backend for windows up to W=32768 and
+    sequences within its word-table capacity; everything else uses the
+    lax-level engine."""
+    import os
+    eng = os.environ.get("MWF_ENGINE", "auto")
+    if eng == "lax":
+        return False
+    if eng not in ("kernel", "kernel-interpret") and \
+            jax.default_backend() != "tpu":
+        return False
+    if mode not in (MODE_SCORE, MODE_TB):
+        return False
+    if bk.W < 1024 or bk.W > 32768 or bk.W % 1024:
+        return False
+    from ..ops import wavefront_kernel as wk
+    max_len = (wk.NTAB * wk.NTAB - 2) * cpw
+    return all(len(s) <= max_len for s in ts_list) and \
+        all(len(s) <= max_len for s in qs_list)
+
+
+def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
+                       ts_list: List[bytes], qs_list: List[bytes],
+                       segs, cpw: int):
+    """Dispatch a batch to the fused-cycle kernel; same output contract
+    as the lax engine (get_aligner)."""
+    import os
+    from ..ops import wavefront_kernel as wk
+    n = len(ts_list)
+    B = _next_pow2(max(1, n))
+    use_seg = segs is not None and any(segs)
+    seg_cap = max((len(s) for s in segs if s), default=0) + 1 if use_seg else 1
+    spec = wk.KSpec(
+        B=B, WR=bk.W // 128, S_CAP=bk.S_CAP,
+        x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
+        mode=wk.MODE_TB if mode == MODE_TB else wk.MODE_SCORE, cpw=cpw,
+        seg_cap=seg_cap, use_seg=use_seg,
+        max_s=opt.max_s, max_iter=opt.max_iter)
+    pad_t = ts_list + [b""] * (B - n)
+    pad_q = qs_list + [b""] * (B - n)
+    nsc = wk.SC_SEG + 2 * seg_cap
+    scal = np.zeros((B, nsc), np.int32)
+    for i, (t, q) in enumerate(zip(pad_t, pad_q)):
+        tl, ql = len(t), len(q)
+        d_end = ql - tl
+        scal[i, wk.SC_TL] = tl
+        scal[i, wk.SC_QL] = ql
+        # window anchored at the midpoint of start (d=0) and end diagonal
+        scal[i, wk.SC_ANC] = d_end // 2 - spec.W // 2
+        if use_seg and segs[i]:
+            sg = segs[i]
+            scal[i, wk.SC_NSEG] = len(sg)
+            scal[i, wk.SC_SEG:wk.SC_SEG + len(sg)] = [s for s, _ in sg]
+            scal[i, wk.SC_SEG + seg_cap:wk.SC_SEG + seg_cap + len(sg)] = \
+                [d for _, d in sg]
+    twt = wk.pack_table(pad_t, cpw)
+    twq = wk.pack_table(pad_q, cpw)
+    interp = os.environ.get("MWF_ENGINE") == "kernel-interpret"
+    fn = wk.get_kernel(spec, interpret=interp)
+    return fn(scal, twt, twq), spec
+
+
 def _run_device(opt: Options, mode: int, bk: _Buckets,
                 ts_list: List[bytes], qs_list: List[bytes],
                 segs: Optional[List[Optional[Seg]]] = None):
+    cpw = _cpw_for(ts_list, qs_list)
+    if _kernel_eligible(mode, bk, ts_list, qs_list, cpw):
+        return _run_device_kernel(opt, mode, bk, ts_list, qs_list, segs, cpw)
     n = len(ts_list)
     B = bk.B
     use_seg = segs is not None and any(segs)

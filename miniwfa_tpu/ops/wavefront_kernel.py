@@ -233,28 +233,32 @@ def build_kernel(spec: KSpec):
         pbits[:] = jnp.zeros((WR, 128), jnp.int32)
 
 
-        def refill(needT, jT, needQ, jQ):
-            """Re-window rows with out-of-window probes.  Per needy row the
-            new 2-block window starts at the aligned block of its smallest
-            needed word.  One broadcast-index gather per block per side
-            (from the transposed table) + a transpose back."""
-            def side(base, need, j):
-                """New per-row block id: needy rows re-center on their
-                smallest live word; others re-gather their current block
-                (idempotent — lets the window writes go unmasked, which
-                avoids a TPU-compiler abort on masked transpose stores)."""
-                has = jnp.any(need, axis=1, keepdims=True)        # [WR,1]
-                jmin = jnp.min(jnp.where(need, j, BIG), axis=1,
-                               keepdims=True)
+        def refill(needy, jT, jQ):
+            """Re-window rows with out-of-window probes.  Per needy row ONE
+            element is elected (smallest target word, then smallest query
+            word among ties) and BOTH windows re-center on it — re-centering
+            the two sides on different elements can ping-pong forever when a
+            row's live probes span more than a window (the cross-side
+            livelock).  The elected element is guaranteed covered, so every
+            refill makes progress.  Non-needy rows re-gather their current
+            blocks (idempotent — lets the window writes go unmasked, which
+            avoids a TPU-compiler abort on masked transpose stores)."""
+            has = jnp.any(needy, axis=1, keepdims=True)           # [WR,1]
+            jTn = jnp.where(needy, jT, BIG)
+            jminT = jnp.min(jTn, axis=1, keepdims=True)
+            elect = needy & (jTn == jminT)
+            jminQ = jnp.min(jnp.where(elect, jQ, BIG), axis=1,
+                            keepdims=True)
+
+            def pick(base, jmin):
                 a_new = jnp.clip(jmin >> 7, 0, NTAB - 1)
                 a_cur = jnp.clip(base[:, 0:1] >> 7, 0, NTAB - 1)
-                a_sel = jnp.where(has, a_new, a_cur)              # [WR,1]
-                return a_sel, has
+                return jnp.where(has, a_new, a_cur)               # [WR,1]
 
-            aT, hasT = side(baT, needT, jT)
-            aQ, hasQ = side(baQ, needQ, jQ)
-            baT[:] = jnp.where(hasT, aT * 128, baT[:])
-            baQ[:] = jnp.where(hasQ, aQ * 128, baQ[:])
+            aT = pick(baT, jminT)
+            aQ = pick(baQ, jminQ)
+            baT[:] = jnp.where(has, aT * 128, baT[:])
+            baQ[:] = jnp.where(has, aQ * 128, baQ[:])
             twt = twt_ref[0]
             twq = twq_ref[0]
             # band rows are re-windowed in 128-row blocks (the gather dim
@@ -343,13 +347,14 @@ def build_kernel(spec: KSpec):
                 k = jnp.where(act, k + adv, k)
                 resolved = act & ((run < nv) | (adv >= cap))
                 un = un & ~resolved
-                needT = un & ~inwt
-                needQ = un & ~inwq
-                # a row whose window no longer covers its smallest live
-                # probe re-windows (vectorized, gated)
-                @pl.when(jnp.any(needT | needQ))
+                # recompute probe words at the ADVANCED positions so the
+                # elected element's windows cover where it will probe next
+                needy = un & ~inw
+                jT2 = jnp.right_shift(k + 1, LOGC)
+                jQ2 = jnp.right_shift(DD + k + 1, LOGC)
+                @pl.when(jnp.any(needy))
                 def _():
-                    refill(needT, jT, needQ, jQ)
+                    refill(needy, jT2, jQ2)
                 return k, un.astype(jnp.int32), rnd + 1
 
             k, _, _ = lax.while_loop(
