@@ -18,6 +18,8 @@ are bit-identical to a solo run because every per-lane update is masked.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -120,7 +122,6 @@ def _kernel_eligible(mode: int, bk: _Buckets, ts_list, qs_list,
     SCORE/TB modes on the TPU backend for windows up to W=32768 and
     sequences within its word-table capacity; everything else uses the
     lax-level engine."""
-    import os
     eng = os.environ.get("MWF_ENGINE", "auto")
     if eng == "lax":
         return False
@@ -142,7 +143,6 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
                        segs, cpw: int):
     """Dispatch a batch to the fused-cycle kernel; same output contract
     as the lax engine (get_aligner)."""
-    import os
     from ..ops import wavefront_kernel as wk
     n = len(ts_list)
     B = _next_pow2(max(1, n))
@@ -175,7 +175,9 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
     twq = wk.pack_table(pad_q, cpw)
     interp = os.environ.get("MWF_ENGINE") == "kernel-interpret"
     fn = wk.get_kernel(spec, interpret=interp)
-    return fn(scal, twt, twq), spec
+    out = dict(fn(scal, twt, twq))
+    out["kernel_cpw"] = cpw   # marker: kernel result (constant tb anchor)
+    return out, spec
 
 
 def _run_device(opt: Options, mode: int, bk: _Buckets,
@@ -316,7 +318,18 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 continue
             s = int(final_s[j])
             cig = None
-            if opt.cigar:
+            if opt.cigar and "kernel_cpw" in out and \
+                    not os.environ.get("MWF_NO_DEVICE_WALK"):
+                # kernel results have a constant window anchor: walk the
+                # HBM-resident tb buffer on-device and fetch only the runs
+                # (the [S_CAP, W] buffer is ~GBs at 100kb scale)
+                from ..ops import traceback_device as tbd
+                anc = int(out["tb_anc"][j, 0])
+                cig = tbd.walk_on_device(
+                    out["tb_bits"][j], anc, ts_list[i], qs_list[i], s,
+                    int(out["last_state"][j]), out["kernel_cpw"],
+                    (opt.x, opt.o1, opt.e1, opt.o2, opt.e2))
+            elif opt.cigar:
                 if tb_bits is None:
                     smax = int(final_s.max())
                     tb_bits = np.asarray(jax.device_get(out["tb_bits"][:, :max(smax, 0)]))

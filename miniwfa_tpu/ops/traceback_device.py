@@ -1,0 +1,185 @@
+"""On-device traceback walker for the fused-kernel path.
+
+The reference walks the 7-bit traceback buffer on the CPU it already owns
+(wf_traceback, miniwfa.c:329-377).  Here the buffer lives in device HBM
+([S_CAP, W] uint8, ~0.5 GB at 100 kb scale) and hauling it to the host
+dwarfs the alignment itself; instead the O(n+s) walk runs on-device as a
+``lax.while_loop`` and only the packed CIGAR runs (a few 100 KB) come back.
+
+Match runs are consumed 16 chars per iteration with *backward* packed-word
+probes (count-leading-zeros of the XOR — the mirror of the kernel's
+forward ctz probes); DP steps decode the tb byte with the exact reference
+semantics (state/ext bits, per-state score decrements, leading overhang).
+
+Emits packed (len<<4|op) runs newest-first with on-device run merging;
+the host reverses the slice.  Ops: 1=I 2=D 7='=' 8='X' (htslib packing,
+miniwfa.c:51-62).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+OP_I, OP_D, OP_EQ, OP_X = 1, 2, 7, 8
+
+
+@functools.lru_cache(maxsize=64)
+def _get_walker(S_CAP: int, W: int, cpw: int,
+                x: int, o1: int, e1: int, o2: int, e2: int):
+    BITS = 32 // cpw
+    LOGC = {16: 4, 4: 2}[cpw]
+    LOGB = {16: 1, 4: 3}[cpw]
+
+    def word_at(words, pos):
+        """Packed word of cpw chars starting at char ``pos``; words is the
+        flat [NW] stream, chars little-endian within a word.  A negative
+        ``pos`` left-shifts so char index c still maps to sequence position
+        pos+c (the shifted-in low chars are garbage the caller masks)."""
+        p = jnp.maximum(pos, 0)
+        j = jnp.right_shift(p, LOGC)
+        w0 = lax.dynamic_index_in_dim(words, j, keepdims=False)
+        w1 = lax.dynamic_index_in_dim(
+            words, jnp.minimum(j + 1, words.shape[0] - 1), keepdims=False)
+        off = jnp.bitwise_and(p, cpw - 1)
+        sh = (off * BITS).astype(jnp.uint32)
+        lo = jnp.right_shift(w0.astype(jnp.uint32), sh)
+        hi = jnp.where(off == 0, jnp.uint32(0),
+                       jnp.left_shift(w1.astype(jnp.uint32),
+                                      jnp.uint32(32) - sh))
+        w = lo | hi
+        neg = jnp.maximum(-pos, 0)
+        return jnp.where(
+            neg > 0,
+            jnp.left_shift(w, jnp.minimum(neg * BITS, 31).astype(jnp.uint32)),
+            w)
+
+    def walk(tb, anc, tl, ql, tw, qw, s_final, last_state):
+        """tb: [S_CAP, W] uint8; tw/qw: flat packed word streams.
+        Returns (buf [CAP] int32 packed runs newest-first, count)."""
+        # each DP step decrements srow by >=1 (<= S_CAP pushes) and match
+        # runs interleave DP steps (+1), so 2*S_CAP + 8 bounds the pushes
+        CAP = 2 * S_CAP + 8
+
+        def push(buf, nout, op, ln):
+            prev = buf[jnp.maximum(nout - 1, 0)]
+            merge = (nout > 0) & ((prev & 0xF) == op) & (ln > 0)
+            at = jnp.where(merge, nout - 1, nout)
+            val = jnp.where(merge, ((prev >> 4) + ln) << 4 | op,
+                            (ln << 4) | op)
+            buf = lax.dynamic_update_index_in_dim(
+                buf, jnp.where(ln > 0, val, buf[jnp.minimum(at, CAP - 1)]),
+                jnp.minimum(at, CAP - 1), 0)
+            return buf, jnp.where(ln > 0, at + 1, nout)
+
+        def cond(c):
+            i, k = c[0], c[1]
+            return (i >= 0) & (k >= 0)
+
+        def body(c):
+            """One probe-or-step, branch-free: a lax.cond would thread the
+            run buffer through both branches and copy it every iteration
+            (O(S_CAP) per step — measured dominant); instead both the
+            backward match probe and the DP-byte decode are computed as
+            scalars and selected."""
+            i, k, srow, last, buf, nout = c
+
+            # backward probe: cpw chars ENDING at (i, k); the top chars of
+            # the windows align with the current positions, so the match
+            # run is the count of leading zero chars of the XOR
+            wt = word_at(tw, k - (cpw - 1))
+            wq = word_at(qw, i - (cpw - 1))
+            valid = jnp.minimum(jnp.minimum(k, i) + 1, cpw)
+            xw = wt ^ wq
+            # chars below the valid window are garbage: force mismatch
+            nv8 = ((cpw - valid) * BITS).astype(jnp.uint32)
+            mask = jnp.where(valid >= cpw, jnp.uint32(0),
+                             jnp.right_shift(jnp.uint32(0xFFFFFFFF),
+                                             jnp.uint32(32) - nv8))
+            xf = xw | mask
+            clz = lax.clz(xf.astype(jnp.int32))
+            run = jnp.where(xf == 0, valid,
+                            jnp.minimum(jnp.right_shift(clz, LOGB), valid))
+            matching = (last == 0) & (run > 0)
+
+            # DP-byte decode (reference miniwfa.c:341-366)
+            col = jnp.clip((i - k) - anc, 0, W - 1)
+            byte = lax.dynamic_slice(tb, (jnp.maximum(srow, 0), col),
+                                     (1, 1))[0, 0].astype(jnp.int32)
+            state = jnp.where(last == 0, byte & 7, last)
+            ext = jnp.where(state > 0,
+                            jnp.right_shift(byte, state + 2) & 1, 0)
+            is_x = state == 0
+            is_ins = (state == 1) | (state == 3)
+            pen1 = (state == 1) | (state == 2)
+            dec = jnp.where(
+                is_x, x,
+                jnp.where(pen1,
+                          jnp.where(ext == 1, e1, o1 + e1),
+                          jnp.where(ext == 1, e2, o2 + e2)))
+
+            op = jnp.where(matching, OP_EQ,
+                           jnp.where(is_x, OP_X,
+                                     jnp.where(is_ins, OP_I, OP_D)))
+            ln = jnp.where(matching, run, 1)
+            di = jnp.where(matching, run,
+                           jnp.where(is_x | is_ins, 1, 0))
+            dk = jnp.where(matching, run,
+                           jnp.where(is_x | ~is_ins, 1, 0))
+            dsrow = jnp.where(matching, 0, dec)
+            last_new = jnp.where(
+                matching, 0,
+                jnp.where((state > 0) & (ext == 1), state, 0))
+            buf, nout = push(buf, nout, op, ln)
+            return i - di, k - dk, srow - dsrow, last_new, buf, nout
+
+        buf0 = jnp.zeros((CAP,), jnp.int32)
+        c = (ql - 1, tl - 1, s_final - 1, last_state, buf0, jnp.int32(0))
+        i, k, srow, last, buf, nout = lax.while_loop(cond, body, c)
+        # leading overhang (miniwfa.c:368-369)
+        buf, nout = push(buf, nout, OP_I, jnp.maximum(i + 1, 0))
+        buf, nout = push(buf, nout, OP_D, jnp.maximum(k + 1, 0))
+        return buf, nout
+
+    return jax.jit(walk)
+
+
+def pack_flat_words(seq: bytes, cpw: int) -> np.ndarray:
+    """Flat little-endian packed word stream [NW] int32 for the walker.
+    NW is bucketed to the next power of two so walker compiles are shared
+    across sequence lengths."""
+    from . import pack as pk
+    bits = 2 if cpw == 16 else 8
+    nw = max(1, (len(seq) + cpw - 1) // cpw + 1)
+    nwb = 1
+    while nwb < nw:
+        nwb <<= 1
+    codes = np.zeros(nwb * cpw, dtype=np.uint32)
+    if len(seq):
+        raw = np.frombuffer(seq, dtype=np.uint8)
+        codes[:len(seq)] = pk._NT2[raw] if cpw == 16 else raw.astype(np.uint32)
+    v = codes.reshape(nwb, cpw)
+    w = np.zeros(nwb, dtype=np.uint32)
+    for j in range(cpw):
+        w |= v[:, j] << np.uint32(bits * j)
+    return w.view(np.int32)
+
+
+def walk_on_device(tb_bits, anc: int, ts: bytes, qs: bytes, s_final: int,
+                   last_state: int, cpw: int, pens) -> list:
+    """Run the device walker for one lane; returns the packed CIGAR list
+    (input order).  tb_bits: [S_CAP, W] uint8 device array."""
+    S_CAP, W = int(tb_bits.shape[0]), int(tb_bits.shape[1])
+    walker = _get_walker(S_CAP, W, cpw, *pens)
+    tw = jnp.asarray(pack_flat_words(ts, cpw))
+    qw = jnp.asarray(pack_flat_words(qs, cpw))
+    buf, nout = walker(tb_bits, jnp.int32(anc), jnp.int32(len(ts)),
+                       jnp.int32(len(qs)), tw, qw, jnp.int32(s_final),
+                       jnp.int32(last_state))
+    n = int(nout)
+    runs = np.asarray(buf[:n])[::-1]
+    return [int(v) for v in runs]
