@@ -128,7 +128,7 @@ def _kernel_eligible(mode: int, bk: _Buckets, ts_list, qs_list,
     if eng not in ("kernel", "kernel-interpret") and \
             jax.default_backend() != "tpu":
         return False
-    if mode not in (MODE_SCORE, MODE_TB):
+    if mode not in (MODE_SCORE, MODE_TB, MODE_PASS1):
         return False
     if bk.W < 1024 or bk.W > 32768 or bk.W % 1024:
         return False
@@ -148,12 +148,18 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
     B = _next_pow2(max(1, n))
     use_seg = segs is not None and any(segs)
     seg_cap = max((len(s) for s in segs if s), default=0) + 1 if use_seg else 1
+    kmode = {MODE_SCORE: wk.MODE_SCORE, MODE_TB: wk.MODE_TB,
+             MODE_PASS1: wk.MODE_PASS1}[mode]
+    is_p1 = mode == MODE_PASS1
     spec = wk.KSpec(
         B=B, WR=bk.W // 128, S_CAP=bk.S_CAP,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
-        mode=wk.MODE_TB if mode == MODE_TB else wk.MODE_SCORE, cpw=cpw,
+        mode=kmode, cpw=cpw,
         seg_cap=seg_cap, use_seg=use_seg,
-        max_s=opt.max_s, max_iter=opt.max_iter)
+        max_s=0 if is_p1 else opt.max_s,
+        max_iter=0 if is_p1 else opt.max_iter,
+        step=opt.step if is_p1 else 0,
+        n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0)
     pad_t = ts_list + [b""] * (B - n)
     pad_q = qs_list + [b""] * (B - n)
     nsc = wk.SC_SEG + 2 * seg_cap
@@ -177,6 +183,7 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
     fn = wk.get_kernel(spec, interpret=interp)
     out = dict(fn(scal, twt, twq))
     out["kernel_cpw"] = cpw   # marker: kernel result (constant tb anchor)
+    out["anc"] = scal[:, wk.SC_ANC]
     return out, spec
 
 
@@ -258,6 +265,13 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
         for j, i in enumerate(idx):
             if ovf[j]:
                 retry.append(i)
+                continue
+            if "kernel_cpw" in out:
+                cnt = int(out["snap_cnt"][j])
+                sx = np.asarray(jax.device_get(out["snap"][j, :max(cnt, 1)]))
+                segs[i] = tbk.decode_checkpoints_kernel(
+                    sx, int(out["anc"][j]), cnt, int(out["last_ptr"][j]),
+                    spec)
                 continue
             if snap_x is None:
                 snap_x = np.asarray(jax.device_get(out["snap_x"]))

@@ -97,6 +97,52 @@ def traceback_walk(
     return cig
 
 
+def decode_checkpoints_kernel(
+    snap_x: np.ndarray,    # [n_snap_cap, NP*W] int32 (fused-kernel layout)
+    anc: int,              # constant window anchor of the lane
+    snap_cnt: int,
+    last_ptr: int,
+    spec,                  # ops.wavefront_kernel.KSpec
+) -> List[Tuple[int, int]]:
+    """Checkpoint recovery for the fused kernel's snapshot encoding
+    (ops/wavefront_kernel.py snapshot block): a snapshot row serializes the
+    sf rings — exactly the reachable slices, unlike the reference's full
+    NS x 5 stripe (miniwfa.c:451-474) — and a flat pointer is
+    ``plane*W + w`` with plane mapping to (state ring, slot).  Slot j of a
+    depth-dp ring taken at score snap_s holds score
+    ``snap_s - ((snap_s - j) mod dp)``; diagonal = anc + w."""
+    from ..ops import wavefront_kernel as wk
+
+    p_h, p_e1, p_f1, p_e2, p_f2, _ = wk.snapshot_layout(spec)
+    ages = wk._ages(spec)
+    DH = max(ages["x"], ages["o1"], ages["o2"])
+    DE1 = max(ages["e1"], 1)
+    DE2 = max(ages["e2"], 1)
+    W = spec.W
+    segs: List[Tuple[int, int]] = []
+    last = int(last_ptr)
+    for c in range(snap_cnt - 1, -1, -1):
+        assert last >= 0, f"pointer chain broke at snapshot {c}: {last}"
+        p, w = last // W, last % W
+        if p >= p_f2:
+            j, dp = p - p_f2, DE2
+        elif p >= p_e2:
+            j, dp = p - p_e2, DE2
+        elif p >= p_f1:
+            j, dp = p - p_f1, DE1
+        elif p >= p_e1:
+            j, dp = p - p_e1, DE1
+        else:
+            j, dp = p, DH
+        snap_s = spec.step * (c + 1) - 1
+        s = snap_s - ((snap_s - j) % dp)
+        segs.append((s, anc + w))
+        last = int(snap_x[c, last])
+    assert last == -1, f"pointer chain did not reach origin: {last}"
+    segs.reverse()
+    return segs
+
+
 def decode_checkpoints(
     snap_x: np.ndarray,    # [n_snap_cap, NS*5*W] int32
     snap_anc: np.ndarray,  # [n_snap_cap] int32 window anchor per snapshot

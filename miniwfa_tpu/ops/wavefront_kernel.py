@@ -67,6 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 WF_NEG_INF = -0x40000000  # reference sentinel (miniwfa.c:67)
 MODE_SCORE = 0
 MODE_TB = 1
+MODE_PASS1 = 2
 
 NTAB = 128        # word-table rows/cols: capacity 128*128 packed words
 MAXR_SAFETY = 1 << 20  # extension-round hard bound (progress-guaranteed)
@@ -75,8 +76,9 @@ MAXR_SAFETY = 1 << 20  # extension-round hard bound (progress-guaranteed)
 SC_TL, SC_QL, SC_ANC, SC_NSEG, SC_SEG = 0, 1, 2, 3, 4
 
 # scalar-output layout: [final_s, done, stopped, ovf_band, ovf_scap,
-#                        last_state, n_iter_lo, n_iter_hi]
-O_S, O_DONE, O_STOP, O_OVFB, O_OVFS, O_LS, O_NLO, O_NHI, O_N = range(9)
+#                        last_state, n_iter_lo, n_iter_hi, last_ptr, snap_cnt]
+(O_S, O_DONE, O_STOP, O_OVFB, O_OVFS, O_LS, O_NLO, O_NHI,
+ O_LP, O_SNC, O_N) = range(11)
 
 
 @dataclass(frozen=True)
@@ -97,6 +99,8 @@ class KSpec:
     use_seg: bool = False
     max_s: int = 0
     max_iter: int = 0
+    step: int = 0    # low-mem snapshot period (pass 1)
+    n_snap: int = 0  # snapshot row capacity (pass 1)
 
     @property
     def W(self) -> int:
@@ -116,6 +120,23 @@ def _ages(spec: KSpec):
                 e1=spec.e1, e2=spec.e2)
 
 
+def snapshot_layout(spec: KSpec):
+    """Plane offsets of the serialized sf rings in a snapshot row
+    [NP, WR, 128]: [H ring | E1 ring | F1 ring | E2 ring | F2 ring].
+    A flat pointer is ``plane*W + w``; the host decoder
+    (models/traceback.decode_checkpoints_kernel) inverts this."""
+    ages = _ages(spec)
+    DH = max(ages["x"], ages["o1"], ages["o2"])
+    DE1 = max(ages["e1"], 1)
+    DE2 = max(ages["e2"], 1)
+    p_h = 0
+    p_e1 = p_h + DH
+    p_f1 = p_e1 + DE1
+    p_e2 = p_f1 + DE1
+    p_f2 = p_e2 + DE2
+    return p_h, p_e1, p_f1, p_e2, p_f2, p_f2 + DE2
+
+
 def build_kernel(spec: KSpec):
     """Build the pallas_call wrapper.  Returns fn(scal, twt, twq) ->
     (out_scal [B, O_N], tb [B, S_CAP, WR, 128] int32 if TB mode)."""
@@ -127,12 +148,16 @@ def build_kernel(spec: KSpec):
     NEG = WF_NEG_INF       # python ints: jnp constants would be captures
     BIG = 0x3FFFFFFF
     is_tb = spec.mode == MODE_TB
+    is_p1 = spec.mode == MODE_PASS1
     ages = _ages(spec)
     DH = max(ages["x"], ages["o1"], ages["o2"])      # H ring depth
     DE1 = max(ages["e1"], 1)
     DE2 = max(ages["e2"], 1)
     NS = spec.NS
     nsc = SC_SEG + 2 * spec.seg_cap
+    # snapshot plane layout: the serialized sf rings ARE the reachable set
+    # (scores >= t+1-age for each state kind) — see snapshot_layout()
+    P_H, P_E1, P_F1, P_E2, P_F2, NP = snapshot_layout(spec)
 
     # [WR,128] index planes (constants)
     def iota_r():
@@ -197,15 +222,21 @@ def build_kernel(spec: KSpec):
 
     def kernel(scal_ref,            # SMEM [B, nsc] (scalar prefetch)
                twt_ref, twq_ref,    # VMEM [1, 128, 128] per-lane word tables
-               out_ref,             # SMEM [1, O_N]
+               out_ref,             # SMEM [B, O_N]
                *refs):
         if is_tb:
             tb_ref = refs[0]
             refs = refs[1:]
+        if is_p1:
+            snap_ref = refs[0]
+            refs = refs[1:]
         (rH, rE1, rF1, rE2, rF2, vb,
          tH, tE1, tF1, tE2, tF2,
          wta, wtb, wqa, wqb, baT, baQ,
-         pbits, tbrow, sem) = refs
+         pbits, tbrow, sem) = refs[:20]
+        if is_p1:
+            (sH, sE1, sF1, sE2, sF2,
+             tHs, tE1s, tF1s, tE2s, tF2s, bnd_lo, bnd_hi) = refs[20:]
 
         b = pl.program_id(0)
         tl = scal_ref[b, SC_TL]
@@ -231,6 +262,18 @@ def build_kernel(spec: KSpec):
         baT[:] = jnp.full((WR, 128), BIG, jnp.int32)  # all-miss
         baQ[:] = jnp.full((WR, 128), BIG, jnp.int32)
         pbits[:] = jnp.zeros((WR, 128), jnp.int32)
+        if is_p1:
+            for ring, depth in ((sH, DH), (sE1, DE1), (sF1, DE1),
+                                (sE2, DE2), (sF2, DE2)):
+                for j in range(depth):
+                    ring[j] = jnp.full((WR, 128), NEG, jnp.int32)
+            # origin pointer -1 at d=0 (reference miniwfa.c:119 / lax init)
+            tHs[:] = jnp.where(DD == 0, -1, NEG)
+            for r in (tE1s, tF1s, tE2s, tF2s):
+                r[:] = jnp.full((WR, 128), NEG, jnp.int32)
+            for j in range(DH):
+                bnd_lo[j] = 1   # empty band until really written
+                bnd_hi[j] = 0
 
 
         def refill(needy, jT, jQ):
@@ -376,7 +419,7 @@ def build_kernel(spec: KSpec):
 
         def cycle(carry):
             (t, wf_lo, wf_hi, t_lo, t_hi, done_i, stopped_i, ovf_i,
-             final_s, last_state, n_lo, n_hi, sid) = carry
+             final_s, last_state, n_lo, n_hi, sid, lp, snc) = carry
             done, stopped, ovf = done_i != 0, stopped_i != 0, ovf_i != 0
 
             # --- 1. extension over the top slice band (miniwfa.c:400-411)
@@ -396,6 +439,10 @@ def build_kernel(spec: KSpec):
             if is_tb:
                 bits_at = jnp.max(jnp.where(DD == d_end, pbits[:], 0))
                 last_state = jnp.where(zero_ext, bits_at & 7, last_state)
+            if is_p1:
+                # terminal provenance pointer (reference miniwfa.c:577)
+                ptr = jnp.max(jnp.where(at_end, tHs[:], NEG))
+                lp = jnp.where(term, ptr, lp)
             done = done | term
             final_s = jnp.where(term, t, final_s)
 
@@ -417,6 +464,16 @@ def build_kernel(spec: KSpec):
             ovf = ovf | ovf_now
             act = ~term & ~ovf_now
 
+            # --- 5b. low-mem snapshot bookkeeping (miniwfa.c:585-586):
+            # due when score t+1 is a multiple of step, after retiring t
+            if is_p1:
+                snap_due = act & (jnp.mod(t + 1, spec.step) == 0)
+                row = (t + 1) // spec.step - 1
+                snap_ok = row < spec.n_snap
+                snc = jnp.where(snap_due & snap_ok, snc + 1, snc)
+                ovf = ovf | (snap_due & ~snap_ok)
+                act = act & ~(snap_due & ~snap_ok)
+
             @pl.when(act)
             def _():
                 # --- 5. retire tops into the rings at slot t mod depth;
@@ -431,7 +488,50 @@ def build_kernel(spec: KSpec):
                 for r in (tH, tE1, tF1, tE2, tF2):
                     viab |= good_diag(r[:])
                 vb[t % NS] = (viab & in_top).astype(jnp.int32)
+                if is_p1:
+                    sH[slot(DH)] = tHs[:]
+                    sE1[slot(DE1)] = tE1s[:]
+                    sF1[slot(DE1)] = tF1s[:]
+                    sE2[slot(DE2)] = tE2s[:]
+                    sF2[slot(DE2)] = tF2s[:]
+                    bnd_lo[slot(DH)] = t_lo
+                    bnd_hi[slot(DH)] = t_hi
 
+            if is_p1:
+                @pl.when(act & snap_due)
+                def _():
+                    # --- 5c. serialize the sf rings (exactly the reachable
+                    # slices, vs the reference's full NS x 5 stripe,
+                    # miniwfa.c:451-474) and reset them to fresh flat
+                    # indices plane*W + w within each slice's band
+                    w_idx = iota_r() * 128 + iota_l()
+                    rings = ((sH, DH, P_H), (sE1, DE1, P_E1),
+                             (sF1, DE1, P_F1), (sE2, DE2, P_E2),
+                             (sF2, DE2, P_F2))
+                    for ring, dp, p0 in rings:
+                        cp = pltpu.make_async_copy(
+                            ring, snap_ref.at[b, row, p0:p0 + dp], sem)
+                        cp.start()
+                        cp.wait()
+                    for ring, dp, p0 in rings:
+                        for j in range(dp):
+                            s_j = t - jnp.mod(t - j, dp)
+                            in_b = (s_j >= 0) \
+                                & (DD >= bnd_lo[s_j % DH]) \
+                                & (DD <= bnd_hi[s_j % DH])
+                            ring[j] = jnp.where(in_b, (p0 + j) * W + w_idx,
+                                                NEG)
+                    # refresh the sf top registers (score t) to match their
+                    # just-reset ring copies: age-1 reads bypass the ring
+                    in_t = (DD >= t_lo) & (DD <= t_hi)
+                    for top, dp, p0 in ((tHs, DH, P_H), (tE1s, DE1, P_E1),
+                                        (tF1s, DE1, P_F1), (tE2s, DE2, P_E2),
+                                        (tF2s, DE2, P_F2)):
+                        top[:] = jnp.where(
+                            in_t, (p0 + t % dp) * W + w_idx, NEG)
+
+            @pl.when(act)
+            def _():
                 # --- 6. transition into score t+1 (wf_next_prep/tb,
                 # miniwfa.c:243-327); age-1 sources are the tops
                 ho1 = rd(rH, DH, tH, t, ages["o1"])
@@ -460,6 +560,37 @@ def build_kernel(spec: KSpec):
                         sem)
                     cp.start()
                     cp.wait()
+                if is_p1:
+                    # propagate snapshot pointers along the just-chosen
+                    # transitions (reference wf_next_seg, miniwfa.c:495-523
+                    # — fused with the value recurrence, which the C
+                    # couldn't vectorize fused)
+                    ho1s = rd(sH, DH, tHs, t, ages["o1"])
+                    ho2s = rd(sH, DH, tHs, t, ages["o2"])
+                    hxs = rd(sH, DH, tHs, t, ages["x"])
+                    e1p = jnp.where(bits & 0x08 != 0,
+                                    sh_m1(rd(sE1, DE1, tE1s, t, ages["e1"])),
+                                    sh_m1(ho1s))
+                    f1p = jnp.where(bits & 0x10 != 0,
+                                    sh_p1(rd(sF1, DE1, tF1s, t, ages["e1"])),
+                                    sh_p1(ho1s))
+                    e2p = jnp.where(bits & 0x20 != 0,
+                                    sh_m1(rd(sE2, DE2, tE2s, t, ages["e2"])),
+                                    sh_m1(ho2s))
+                    f2p = jnp.where(bits & 0x40 != 0,
+                                    sh_p1(rd(sF2, DE2, tF2s, t, ages["e2"])),
+                                    sh_p1(ho2s))
+                    z = bits & 7
+                    hp = hxs
+                    hp = jnp.where(z == 1, e1p, hp)
+                    hp = jnp.where(z == 2, f1p, hp)
+                    hp = jnp.where(z == 3, e2p, hp)
+                    hp = jnp.where(z == 4, f2p, hp)
+                    tHs[:] = jnp.where(in_new, hp, NEG)
+                    tE1s[:] = jnp.where(in_new, e1p, NEG)
+                    tF1s[:] = jnp.where(in_new, f1p, NEG)
+                    tE2s[:] = jnp.where(in_new, e2p, NEG)
+                    tF2s[:] = jnp.where(in_new, f2p, NEG)
 
             # boundary commit (miniwfa.c:325-326): read the new tops back
             viable = jnp.zeros((WR, 128), bool)
@@ -501,7 +632,7 @@ def build_kernel(spec: KSpec):
             return (t + 1, wf_lo, wf_hi, t_lo, t_hi,
                     done.astype(jnp.int32), stopped.astype(jnp.int32),
                     ovf.astype(jnp.int32),
-                    final_s, last_state, n_lo, n_hi, sid)
+                    final_s, last_state, n_lo, n_hi, sid, lp, snc)
 
         def cond(carry):
             t, done, stopped, ovf = carry[0], carry[5], carry[6], carry[7]
@@ -510,11 +641,12 @@ def build_kernel(spec: KSpec):
         z = jnp.int32(0)
         carry = (z, z, z, z, z,                      # t, wf_lo/hi, t_lo/hi
                  z, z, z,                            # done, stopped, ovf
-                 jnp.int32(-1), z, z, z, z)          # final_s, last_state,
+                 jnp.int32(-1), z, z, z, z,          # final_s, last_state,
                                                      # n_lo, n_hi, sid
+                 jnp.int32(WF_NEG_INF), z)           # last_ptr, snap_cnt
         carry = lax.while_loop(cond, cycle, carry)
         (t, _, _, _, _, done_i, stopped_i, ovf_i,
-         final_s, last_state, n_lo, n_hi, _) = carry
+         final_s, last_state, n_lo, n_hi, _, lp, snc) = carry
         done, stopped, ovf = done_i != 0, stopped_i != 0, ovf_i != 0
         alive = ~(done | stopped | ovf)
         out_ref[b, O_S] = final_s
@@ -525,6 +657,8 @@ def build_kernel(spec: KSpec):
         out_ref[b, O_LS] = last_state
         out_ref[b, O_NLO] = n_lo
         out_ref[b, O_NHI] = n_hi
+        out_ref[b, O_LP] = lp
+        out_ref[b, O_SNC] = snc
 
     # ---- pallas_call plumbing
     out_shapes = [jax.ShapeDtypeStruct((spec.B, O_N), jnp.int32)]
@@ -533,6 +667,11 @@ def build_kernel(spec: KSpec):
         # full-array ANY ref (HBM): rows DMA'd at dynamic [lane, cycle]
         out_shapes.append(jax.ShapeDtypeStruct(
             (spec.B, spec.S_CAP, WR, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if is_p1:
+        # snapshot rows: serialized sf rings, DMA'd at [lane, snapshot]
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (spec.B, max(spec.n_snap, 1), NP, WR, 128), jnp.int32))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     scratch = [
@@ -557,6 +696,21 @@ def build_kernel(spec: KSpec):
         pltpu.VMEM((WR, 128), jnp.int32),        # tbrow
         pltpu.SemaphoreType.DMA,
     ]
+    if is_p1:
+        scratch += [
+            pltpu.VMEM((DH, WR, 128), jnp.int32),    # sH
+            pltpu.VMEM((DE1, WR, 128), jnp.int32),   # sE1
+            pltpu.VMEM((DE1, WR, 128), jnp.int32),   # sF1
+            pltpu.VMEM((DE2, WR, 128), jnp.int32),   # sE2
+            pltpu.VMEM((DE2, WR, 128), jnp.int32),   # sF2
+            pltpu.VMEM((WR, 128), jnp.int32),        # tHs
+            pltpu.VMEM((WR, 128), jnp.int32),        # tE1s
+            pltpu.VMEM((WR, 128), jnp.int32),        # tF1s
+            pltpu.VMEM((WR, 128), jnp.int32),        # tE2s
+            pltpu.VMEM((WR, 128), jnp.int32),        # tF2s
+            pltpu.SMEM((DH,), jnp.int32),            # bnd_lo
+            pltpu.SMEM((DH,), jnp.int32),            # bnd_hi
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -589,6 +743,7 @@ def get_kernel(spec: KSpec, interpret: bool = False):
     with the same keys as the lax engine's output (ops/wavefront.py)."""
     call = build_kernel(spec)
     is_tb = spec.mode == MODE_TB
+    is_p1 = spec.mode == MODE_PASS1
 
     def run(scal, twt, twq):
         outs = call(scal, twt, twq, interpret=interpret)
@@ -606,6 +761,12 @@ def get_kernel(spec: KSpec, interpret: bool = False):
                 spec.B, spec.S_CAP, spec.W)
             res["tb_anc"] = jnp.broadcast_to(
                 scal[:, SC_ANC:SC_ANC + 1], (spec.B, spec.S_CAP))
+        if is_p1:
+            np_ = snapshot_layout(spec)[5]
+            res["snap"] = outs[1].reshape(
+                spec.B, max(spec.n_snap, 1), np_ * spec.W)
+            res["snap_cnt"] = o[:, O_SNC]
+            res["last_ptr"] = o[:, O_LP]
         return res
 
     return jax.jit(run)
