@@ -48,6 +48,7 @@ def main(argv=None) -> int:
     opt = Options()
     mode = 0
     batch_size = 64
+    debug = False
     for o, a in opts:
         if o == "-c":
             opt = opt.replace(cigar=True)
@@ -67,25 +68,35 @@ def main(argv=None) -> int:
             mode = 2
         elif o == "-B":
             batch_size = int(a)
+        elif o == "-d":
+            debug = True
     if len(args) < 2:
         print(USAGE, file=sys.stderr)
         return 1
 
-    t0 = time.perf_counter()
     it1, it2 = read_fastx(args[0]), read_fastx(args[1])
     pending = []
 
     def flush(pending):
-        nonlocal t0
         if not pending:
             return
+        # per-pair timing (reference main.c:12-17,83 prints per-pair CPU
+        # time): batched pairs share one device dispatch, so each pair's T
+        # line reports the batch wall time amortized per pair; chain/auto
+        # pairs run one-by-one and are timed individually
         if mode == 0:
             from .models.exact import align_batch
+            t0 = time.perf_counter()
             results = align_batch([(r1.seq, r2.seq) for r1, r2 in pending], opt)
+            times = [(time.perf_counter() - t0) / len(pending)] * len(pending)
         else:
             fn = align_chain if mode == 1 else align_auto
-            results = [fn(r1.seq, r2.seq, opt) for r1, r2 in pending]
-        for (r1, r2), r in zip(pending, results):
+            results, times = [], []
+            for r1, r2 in pending:
+                t0 = time.perf_counter()
+                results.append(fn(r1.seq, r2.seq, opt))
+                times.append(time.perf_counter() - t0)
+        for (r1, r2), r, dt in zip(pending, results, times):
             if opt.cigar and r.cigar is not None:
                 C.assert_cigar(opt, r.cigar, len(r1.seq), len(r2.seq), r.s)
             row = (f"{r1.name}\t{len(r1.seq)}\t0\t{len(r1.seq)}\t+\t"
@@ -93,9 +104,13 @@ def main(argv=None) -> int:
             if opt.cigar:
                 row += "\t" + (r.cigar_str or "")
             print(row, flush=True)
-            print(f"T\t{r1.name}\t{r2.name}\t{time.perf_counter() - t0:.3f}",
-                  file=sys.stderr)
-            t0 = time.perf_counter()
+            if debug:
+                # analog of the reference's MWF_F_DEBUG traceback
+                # bookkeeping line (miniwfa.c:367)
+                ncig = len(r.cigar) if r.cigar is not None else 0
+                print(f"D\t{r1.name}\t{r2.name}\ts={r.s}\tn_iter={r.n_iter}"
+                      f"\tcigar_runs={ncig}", file=sys.stderr)
+            print(f"T\t{r1.name}\t{r2.name}\t{dt:.3f}", file=sys.stderr)
 
     for r1, r2 in zip(it1, it2):
         pending.append((r1, r2))

@@ -5,10 +5,10 @@ over ACGT (anything else resets the window), low-occurrence match pairing
 (per-side occurrence ≤ max_occ), LIS co-linear chaining, gapless-run anchor
 filtering, and the k-mer multiset similarity estimate.
 
-These run on the host over numpy (vectorized C loops); k-mer extraction and
-pair generation also have a jnp device path for large batched workloads
-(ops/kmer_jax.py).  The LIS inner loop is sequential O(n log n) — it uses
-the native C++ kernel when built (utils/native.py) with this as fallback.
+These run on the host over numpy (vectorized C loops) — anchoring is a
+few ms even at Mb scale, far from the hot path.  The LIS inner loop is
+sequential O(n log n) — it uses the native C++ kernel when built
+(utils/native.py) with this as fallback.
 """
 
 from __future__ import annotations

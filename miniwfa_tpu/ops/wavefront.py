@@ -172,31 +172,6 @@ def build_aligner(spec: WfSpec):
         m = it.reshape(B, -1).shape[1]
         return (g[:, :m].reshape(pt.shape), g[:, m:].reshape(pq.shape))
 
-    def word_probe(words, nw, pos, live=None):
-        """Gather the packed word of CPW chars starting at char ``pos``.
-        pos: int32 [B, ...]; ``live`` masks positions whose result is used.
-
-        CRITICAL for throughput: the TPU dynamic-gather unit serializes on
-        duplicate indices (measured ~175x slowdown when a row's indices
-        collide).  Masked/garbage positions (k = NEG_INF clipped to 0)
-        would all hit index 0, so they are spread over distinct addresses
-        instead; out-of-range live positions are also spread (their values
-        are never consumed — the per-diagonal advance cap is 0 there)."""
-        import os
-        way = jnp.bitwise_and(pos, CPW - 1)
-        idx = (way * nw + jnp.right_shift(pos, LOGC)).reshape(B, -1)
-        n = CPW * nw
-        spread = jnp.mod(
-            jax.lax.broadcasted_iota(jnp.int32, idx.shape, dimension=1), n)
-        bad = (idx < 0) | (idx >= n)
-        if live is not None:
-            bad = bad | ~live.reshape(B, -1)
-        idx = jnp.where(bad, spread, idx)
-        if os.environ.get("MWF_DBG_IOTAPROBE"):  # perf debugging only:
-            idx = (spread + idx // n) % n        # trivial index content
-        g = jnp.take_along_axis(words, idx, axis=1)
-        return g.reshape(pos.shape)
-
     def ctz_chars(x):
         """Index of first mismatching char in an XOR word (x != 0)."""
         u = x.astype(jnp.uint32)
@@ -554,6 +529,12 @@ def build_aligner(spec: WfSpec):
         snapshot's recorded anchor; slot→score via s ≡ slot (mod NS).
         Rows are written at the global snapshot counter; lanes that
         terminated earlier keep snap_cnt frozen so their rows are ignored.
+
+        INVARIANT: the unmasked snap_x/snap_anc writes below are safe only
+        because the global row index (t+1)//step - 1 is monotone and
+        n_snap = S_CAP//step + 2 >= every row ever written, so the row_w
+        clip never wraps onto a terminated lane's last valid row; if the
+        n_snap sizing changes, mask these writes with snap_act.
         """
         st = dict(st)
         t, act = st["t"], st["snap_act"]

@@ -3,10 +3,17 @@
 The reference is single-process (SURVEY.md §2 parallelism inventory); the
 TPU-native scale-out is a pair stream sharded across all chips of all hosts:
 ``init()`` brings up ``jax.distributed``, ``global_mesh()`` builds the 1-D
-data mesh over every device in the job, and ``align_batch_sharded`` then
-runs unchanged — each host feeds its addressable shard, scores/cell counters
-merge with a ``psum`` inside the compiled program (over ICI within a host,
-DCN across hosts), and CIGAR buffers are fetched per addressable lane.
+data mesh over every device in the job, and ``align_batch_sharded`` runs
+over it with scores/cell counters merged by ``psum`` inside the compiled
+program (over ICI within a host, DCN across hosts).
+
+CAVEAT (multi-process): align_batch_sharded's host side currently assumes
+every lane is addressable (np.asarray on globally-sharded outputs and
+whole-buffer tb fetch), which holds on a single host with any number of
+local devices; on a true multi-host mesh route per-host shards through
+``jax.experimental.multihost_utils.process_allgather`` or fetch only the
+addressable shards — see tests/test_multiprocess.py for the 2-process
+CPU harness that exercises this path.
 """
 
 from __future__ import annotations
