@@ -46,6 +46,24 @@ def test_sharded_scores_match_goldens(goldens):
         assert r.s == exp[i]["s"], c["name"]
 
 
+def test_sharded_lowmem_matches_goldens(goldens):
+    """Low-mem (two-pass) mode through the sharded path: sharded pass 1
+    + checkpoint decode + sharded pass 2 must reproduce the reference's
+    low-mem score AND CIGAR (SURVEY.md §7 L7; VERDICT r1 item 5a)."""
+    from miniwfa_tpu import Options
+    from miniwfa_tpu.parallel.batch import align_batch_sharded
+    from miniwfa_tpu.parallel.mesh import make_mesh
+
+    cases = [(i, c) for i, c in enumerate(goldens["cases"])
+             if max(len(c["t"]), len(c["q"])) <= 256][:16]
+    res = align_batch_sharded([(c["t"], c["q"]) for _, c in cases],
+                              Options(cigar=True, step=16), make_mesh())
+    exp = goldens["runs"]["lowmem_p16"]
+    for (i, c), r in zip(cases, res):
+        assert r.s == exp[i]["s"], c["name"]
+        assert r.cigar_str == exp[i]["cigar"], c["name"]
+
+
 def test_sharded_cigar_matches_single(goldens):
     """CIGAR mode through the sharded path must equal the single-device
     path byte-for-byte."""
