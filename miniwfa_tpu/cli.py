@@ -85,17 +85,14 @@ def main(argv=None) -> int:
         # line reports the batch wall time amortized per pair; chain/auto
         # pairs run one-by-one and are timed individually
         if mode == 0:
-            from .models.exact import align_batch
-            t0 = time.perf_counter()
-            results = align_batch([(r1.seq, r2.seq) for r1, r2 in pending], opt)
-            times = [(time.perf_counter() - t0) / len(pending)] * len(pending)
+            from .models.exact import align_batch as fn
+        elif mode == 1:
+            from .models.chain import align_chain_batch as fn
         else:
-            fn = align_chain if mode == 1 else align_auto
-            results, times = [], []
-            for r1, r2 in pending:
-                t0 = time.perf_counter()
-                results.append(fn(r1.seq, r2.seq, opt))
-                times.append(time.perf_counter() - t0)
+            from .models.auto import align_auto_batch as fn
+        t0 = time.perf_counter()
+        results = fn([(r1.seq, r2.seq) for r1, r2 in pending], opt)
+        times = [(time.perf_counter() - t0) / len(pending)] * len(pending)
         for (r1, r2), r, dt in zip(pending, results, times):
             if opt.cigar and r.cigar is not None:
                 C.assert_cigar(opt, r.cigar, len(r1.seq), len(r2.seq), r.s)

@@ -3,15 +3,28 @@ the chaining heuristic (reference mwf_wfa_auto, miniwfa.c:898-908)."""
 
 from __future__ import annotations
 
+from typing import List, Sequence, Tuple
+
 from ..options import Options
-from .chain import align_chain
-from .exact import Result, align_exact
+from .chain import align_chain_batch
+from .exact import Result, align_batch, align_exact
+
+
+def align_auto_batch(pairs: Sequence[Tuple[object, object]],
+                     opt: Options) -> List[Result]:
+    """Auto policy over a batch: one exact dispatch with the 100M-cell
+    budget (per-lane early stop), then one batched chain pass over the
+    lanes that gave up."""
+    o = opt.replace(step=0, max_iter=100_000_000)
+    res = align_batch(pairs, o)
+    failed = [i for i, r in enumerate(res) if r.s < 0]
+    if failed:
+        oc = opt.replace(step=5000 if opt.cigar else 0, max_iter=0)
+        chained = align_chain_batch([pairs[i] for i in failed], oc)
+        for i, r in zip(failed, chained):
+            res[i] = r
+    return res
 
 
 def align_auto(ts, qs, opt: Options) -> Result:
-    o = opt.replace(step=0, max_iter=100_000_000)
-    r = align_exact(ts, qs, o)
-    if r.s >= 0:
-        return r
-    o = opt.replace(step=5000 if opt.cigar else 0, max_iter=0)
-    return align_chain(ts, qs, o)
+    return align_auto_batch([(ts, qs)], opt)[0]

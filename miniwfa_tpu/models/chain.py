@@ -2,16 +2,21 @@
 close the inter-anchor gaps exactly (reference mwf_wfa_chain,
 miniwfa.c:850-896).
 
-Host plans the segment list (anchors, gap classification via k-mer
-similarity), then all exact gap sub-alignments are dispatched to the device
-as ONE batch — the TPU-native twist: the reference aligns gaps one at a
-time; batching them keeps the chip's lanes full and is the natural
-intra-pair parallelism source for huge sequences (SURVEY.md §5).
+Host plans the segment lists (anchors, gap classification via k-mer
+similarity) with vectorized numpy; the exact gap sub-alignments of a WHOLE
+BATCH of pairs are dispatched to the device as ONE align_batch call — the
+TPU-native twist: the reference aligns gaps one at a time; cross-pair gap
+batching keeps the chip's lanes full and is the natural intra-pair
+parallelism source for huge sequences (SURVEY.md §5).
+
+``Result.n_iter`` in chain mode is the sum of the gap fills' wavefront
+cells (the reference leaves r->n_iter unset here — its gap results are
+local, miniwfa.c:877-882 — so this framework defines the unit).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -20,77 +25,92 @@ from ..options import Options
 from ..ops import kmer
 from .exact import Result, align_batch, as_bytes
 
+# segment kinds (classification of miniwfa.c:861-891)
+K_EQ, K_SKIP, K_ALIGN, K_DEL, K_INS, K_NONE = range(6)
+
 
 def _plan_segments(ts: bytes, qs: bytes, opt: Options):
-    """Walk the filtered anchor chain and classify each region
-    (reference miniwfa.c:861-891)."""
+    """Vectorized anchor-chain walk; returns (kinds, x0, x1, y0, y1)
+    int64 arrays over the n_a+1 inter-anchor regions."""
     anchors = kmer.chain(ts, qs, opt.kmer, opt.max_occ)
     anchors = kmer.anchor_filter(anchors, len(ts), len(qs), opt.kmer,
                                  opt.min_len)
-    segs = []  # (kind, x0, x1, y0, y1); kind: 'eq', 'skip', 'align', 'del', 'ins'
-    n_a = anchors.size
-    x0 = y0 = 0
-    for i in range(n_a + 1):
-        if i == n_a:
-            x1, y1 = len(ts), len(qs)
-        else:
-            x1 = int(anchors[i] >> np.uint64(32)) + 1
-            y1 = int(anchors[i] & np.uint64(0xFFFFFFFF)) + 1
-        if i < n_a and x1 - x0 == y1 - y0 and x1 - x0 <= opt.kmer:
-            segs.append(("eq", x0, x1, y0, y1))
-        elif x0 < x1 and y0 < y1:
-            if (x1 - x0 >= 10000 and y1 - y0 >= 10000
-                    and kmer.ksim(ts[x0:x1], qs[y0:y1], opt.kmer) < 0.02):
-                # huge dissimilar gap: emit D+I costed 2*o2 + e2*(l1+l2)
-                # (miniwfa.c:869-875)
-                segs.append(("skip", x0, x1, y0, y1))
-            else:
-                segs.append(("align", x0, x1, y0, y1))
-        elif x0 < x1:
-            segs.append(("del", x0, x1, y0, y1))
-        elif y0 < y1:
-            segs.append(("ins", x0, x1, y0, y1))
-        x0, y0 = x1, y1
-    return segs
+    n_a = int(anchors.size)
+    x1 = np.empty(n_a + 1, np.int64)
+    y1 = np.empty(n_a + 1, np.int64)
+    x1[:n_a] = (anchors >> np.uint64(32)).astype(np.int64) + 1
+    y1[:n_a] = (anchors & np.uint64(0xFFFFFFFF)).astype(np.int64) + 1
+    x1[n_a], y1[n_a] = len(ts), len(qs)
+    x0 = np.concatenate([[0], x1[:-1]])
+    y0 = np.concatenate([[0], y1[:-1]])
+    dx, dy = x1 - x0, y1 - y0
+    is_anchor = np.arange(n_a + 1) < n_a
+    eq = is_anchor & (dx == dy) & (dx <= opt.kmer)
+    both = (~eq) & (dx > 0) & (dy > 0)
+    kinds = np.full(n_a + 1, K_NONE, np.int64)
+    kinds[eq] = K_EQ
+    kinds[both] = K_ALIGN
+    kinds[(~eq) & (dx > 0) & (dy == 0)] = K_DEL
+    kinds[(~eq) & (dx == 0) & (dy > 0)] = K_INS
+    # the >=10kb dissimilar-gap shortcut needs a k-mer similarity pass —
+    # rare; loop only over its candidates (miniwfa.c:869-875)
+    for i in np.nonzero(both & (dx >= 10000) & (dy >= 10000))[0]:
+        if kmer.ksim(ts[x0[i]:x1[i]], qs[y0[i]:y1[i]], opt.kmer) < 0.02:
+            kinds[i] = K_SKIP
+    return kinds, x0, x1, y0, y1
+
+
+def align_chain_batch(pairs: Sequence[Tuple[object, object]],
+                      opt: Options) -> List[Result]:
+    """Chaining heuristic over a batch of pairs: every pair's exact gap
+    fills go to the device in ONE batched dispatch."""
+    enc = [(as_bytes(t), as_bytes(q)) for t, q in pairs]
+    plans = [_plan_segments(t, q, opt) for t, q in enc]
+
+    gap_pairs = []
+    gap_of = []           # (pair index, segment index)
+    for pi, ((ts, qs), (kinds, x0, x1, y0, y1)) in enumerate(zip(enc, plans)):
+        for i in np.nonzero(kinds == K_ALIGN)[0]:
+            gap_pairs.append((ts[x0[i]:x1[i]], qs[y0[i]:y1[i]]))
+            gap_of.append((pi, int(i)))
+    gap_results = align_batch(gap_pairs, opt) if gap_pairs else []
+    gap_map = {key: r for key, r in zip(gap_of, gap_results)}
+
+    out: List[Result] = []
+    for pi, ((ts, qs), (kinds, x0, x1, y0, y1)) in enumerate(zip(enc, plans)):
+        s = 0
+        n_iter = 0
+        cig: Optional[List[int]] = [] if opt.cigar else None
+        for i in range(kinds.size):
+            kind = kinds[i]
+            dx, dy = int(x1[i] - x0[i]), int(y1[i] - y0[i])
+            if kind == K_EQ:
+                if cig is not None:
+                    C.push(cig, C.OP_EQ, dx)
+            elif kind == K_SKIP:
+                if cig is not None:
+                    C.push(cig, C.OP_D, dx)
+                    C.push(cig, C.OP_I, dy)
+                s += opt.o2 * 2 + opt.e2 * (dx + dy)
+            elif kind == K_ALIGN:
+                q = gap_map[(pi, i)]
+                if cig is not None and q.cigar is not None:
+                    C.extend(cig, q.cigar)
+                s += q.s
+                n_iter += q.n_iter
+            elif kind == K_DEL:
+                if cig is not None:
+                    C.push(cig, C.OP_D, dx)
+                s += opt.gap_cost(dx)
+            elif kind == K_INS:
+                if cig is not None:
+                    C.push(cig, C.OP_I, dy)
+                s += opt.gap_cost(dy)
+        out.append(Result(s=s, cigar=cig, n_iter=n_iter))
+    return out
 
 
 def align_chain(ts, qs, opt: Options) -> Result:
     """Chaining heuristic alignment (reference mwf_wfa_chain).  May miss
     the optimal score; the CIGAR is still self-consistent with s."""
-    ts, qs = as_bytes(ts), as_bytes(qs)
-    segs = _plan_segments(ts, qs, opt)
-
-    # batch all exact gap fills in one device dispatch
-    gap_ix = [i for i, sg in enumerate(segs) if sg[0] == "align"]
-    gap_results: List[Result] = []
-    if gap_ix:
-        pairs = [(ts[segs[i][1] : segs[i][2]], qs[segs[i][3] : segs[i][4]])
-                 for i in gap_ix]
-        gap_results = align_batch(pairs, opt)
-    gap_map = dict(zip(gap_ix, gap_results))
-
-    s = 0
-    cig: Optional[List[int]] = [] if opt.cigar else None
-    for i, (kind, x0, x1, y0, y1) in enumerate(segs):
-        if kind == "eq":
-            if cig is not None:
-                C.push(cig, C.OP_EQ, x1 - x0)
-        elif kind == "skip":
-            if cig is not None:
-                C.push(cig, C.OP_D, x1 - x0)
-                C.push(cig, C.OP_I, y1 - y0)
-            s += opt.o2 * 2 + opt.e2 * ((x1 - x0) + (y1 - y0))
-        elif kind == "align":
-            q = gap_map[i]
-            if cig is not None and q.cigar is not None:
-                C.extend(cig, q.cigar)
-            s += q.s
-        elif kind == "del":
-            if cig is not None:
-                C.push(cig, C.OP_D, x1 - x0)
-            s += opt.gap_cost(x1 - x0)
-        elif kind == "ins":
-            if cig is not None:
-                C.push(cig, C.OP_I, y1 - y0)
-            s += opt.gap_cost(y1 - y0)
-    return Result(s=s, cigar=cig)
+    return align_chain_batch([(ts, qs)], opt)[0]

@@ -132,6 +132,12 @@ def _kernel_eligible(mode: int, bk: _Buckets, ts_list, qs_list,
         return False
     if bk.W < 1024 or bk.W > 32768 or bk.W % 1024:
         return False
+    # the kernel runs one lane per sequential grid step (~ms fixed cost per
+    # lane); a big batch of small alignments (chain-mode gap fills) is
+    # faster on the lockstep lax engine, which advances every lane per
+    # vectorized cycle
+    if eng != "kernel" and len(ts_list) > 64 and bk.W < 8192:
+        return False
     from ..ops import wavefront_kernel as wk
     max_len = (wk.NTAB * wk.NTAB - 2) * cpw
     return all(len(s) <= max_len for s in ts_list) and \
@@ -151,6 +157,18 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
     kmode = {MODE_SCORE: wk.MODE_SCORE, MODE_TB: wk.MODE_TB,
              MODE_PASS1: wk.MODE_PASS1}[mode]
     is_p1 = mode == MODE_PASS1
+    if is_p1:
+        n_snap = bk.S_CAP // opt.step + 2
+        np_planes = wk.snapshot_layout(
+            wk.KSpec(B=1, WR=bk.W // 128, S_CAP=bk.S_CAP, x=opt.x,
+                     o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2))[5]
+        per_lane = n_snap * np_planes * bk.W * 4
+        if per_lane > PASS1_SNAP_BUDGET:
+            raise RuntimeError(
+                f"low-mem snapshot buffer {per_lane/2**30:.1f} GiB/lane at "
+                f"step={opt.step}, W={bk.W}, S_CAP={bk.S_CAP} exceeds the "
+                f"{PASS1_SNAP_BUDGET/2**30:.0f} GiB budget — use a larger "
+                f"step (reference default 5000) or the chain mode")
     spec = wk.KSpec(
         B=B, WR=bk.W // 128, S_CAP=bk.S_CAP,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
@@ -260,6 +278,9 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
                                 [ts_list[i] for i in idx],
                                 [qs_list[i] for i in idx])
         ovf = np.asarray(out["overflow"])[: len(idx)]
+        snap_cnt = np.asarray(out["snap_cnt"])
+        last_ptr = np.asarray(out["last_ptr"])
+        anc_np = np.asarray(out["anc"]) if "kernel_cpw" in out else None
         snap_x = None
         retry = []
         for j, i in enumerate(idx):
@@ -267,18 +288,17 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
                 retry.append(i)
                 continue
             if "kernel_cpw" in out:
-                cnt = int(out["snap_cnt"][j])
+                cnt = int(snap_cnt[j])
                 sx = np.asarray(jax.device_get(out["snap"][j, :max(cnt, 1)]))
                 segs[i] = tbk.decode_checkpoints_kernel(
-                    sx, int(out["anc"][j]), cnt, int(out["last_ptr"][j]),
-                    spec)
+                    sx, int(anc_np[j]), cnt, int(last_ptr[j]), spec)
                 continue
             if snap_x is None:
                 snap_x = np.asarray(jax.device_get(out["snap_x"]))
                 snap_anc = np.asarray(jax.device_get(out["snap_anc"]))
             segs[i] = tbk.decode_checkpoints(
-                snap_x[j], snap_anc[j], int(out["snap_cnt"][j]),
-                int(out["last_ptr"][j]), ns, spec.W, opt.step)
+                snap_x[j], snap_anc[j], int(snap_cnt[j]),
+                int(last_ptr[j]), ns, spec.W, opt.step)
         if retry:
             bk = _escalate(bk,
                            bool(np.asarray(out["ovf_band"])[: len(idx)].any()),
@@ -317,31 +337,37 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         out, spec = _run_device(opt, mode, cur_bk,
                                 [ts_list[i] for i in idx],
                                 [qs_list[i] for i in idx], sub_segs)
+        # fetch ALL small per-lane outputs as numpy in one go: indexing
+        # device arrays per lane costs a host<->device roundtrip each
         ovf = np.asarray(out["overflow"])[: len(idx)]
         stopped = np.asarray(out["stopped"])[: len(idx)]
         final_s = np.asarray(out["final_s"])[: len(idx)]
+        ni_lo = np.asarray(out["n_iter_lo"])
+        ni_hi = np.asarray(out["n_iter_hi"])
+        last_state = np.asarray(out["last_state"])
+        is_kernel = "kernel_cpw" in out
+        anc_np = np.asarray(out["anc"]) if is_kernel else None
         tb_bits = tb_lo = None
         retry = []
         for j, i in enumerate(idx):
             if ovf[j]:
                 retry.append(i)
                 continue
-            n_iter = _n_iter_of(out, j)
+            n_iter = (int(ni_hi[j]) << 30) | int(ni_lo[j])
             if stopped[j]:
                 results[i] = Result(s=-1, cigar=None, n_iter=n_iter)
                 continue
             s = int(final_s[j])
             cig = None
-            if opt.cigar and "kernel_cpw" in out and \
+            if opt.cigar and is_kernel and \
                     not os.environ.get("MWF_NO_DEVICE_WALK"):
                 # kernel results have a constant window anchor: walk the
                 # HBM-resident tb buffer on-device and fetch only the runs
                 # (the [S_CAP, W] buffer is ~GBs at 100kb scale)
                 from ..ops import traceback_device as tbd
-                anc = int(out["tb_anc"][j, 0])
                 cig = tbd.walk_on_device(
-                    out["tb_bits"][j], anc, ts_list[i], qs_list[i], s,
-                    int(out["last_state"][j]), out["kernel_cpw"],
+                    out["tb_bits"][j], int(anc_np[j]), ts_list[i],
+                    qs_list[i], s, int(last_state[j]), out["kernel_cpw"],
                     (opt.x, opt.o1, opt.e1, opt.o2, opt.e2))
             elif opt.cigar:
                 if tb_bits is None:
@@ -352,7 +378,7 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 # i.e. the walker's (tb_lo, m1) with m1 = 0
                 cig = tbk.traceback_walk(opt, tb_bits[j], tb_lo[j], 0,
                                          ts_list[i], qs_list[i], s,
-                                         int(out["last_state"][j]))
+                                         int(last_state[j]))
             results[i] = Result(s=s, cigar=cig, n_iter=n_iter)
         if retry:
             cur_bk = _escalate(cur_bk,
