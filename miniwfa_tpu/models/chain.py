@@ -73,7 +73,25 @@ def align_chain_batch(pairs: Sequence[Tuple[object, object]],
         for i in np.nonzero(kinds == K_ALIGN)[0]:
             gap_pairs.append((ts[x0[i]:x1[i]], qs[y0[i]:y1[i]]))
             gap_of.append((pi, int(i)))
-    gap_results = align_batch(gap_pairs, opt) if gap_pairs else []
+    # dispatch in bounded chunks: a Mb-scale pair yields 1e4-1e5 gaps and
+    # one giant batch would blow device memory / compile fresh giant specs.
+    # Sorting by size keeps each chunk's padding buckets tight.
+    CHUNK = 2048
+    order = sorted(range(len(gap_pairs)),
+                   key=lambda g: max(len(gap_pairs[g][0]),
+                                     len(gap_pairs[g][1])))
+    gap_results: List[Optional[Result]] = [None] * len(gap_pairs)
+    for c0 in range(0, len(order), CHUNK):
+        sel = order[c0:c0 + CHUNK]
+        # window/score buckets sized to the chunk's largest gap, not the
+        # 512 default: most gaps are a few bp and a tight bucket keeps the
+        # traceback buffer (and its host fetch) small
+        mx = max(max(len(gap_pairs[g][0]), len(gap_pairs[g][1]))
+                 for g in sel)
+        sub = align_batch([gap_pairs[g] for g in sel], opt,
+                          w0=max(64, mx // 2), s0=max(64, mx // 2))
+        for g, r in zip(sel, sub):
+            gap_results[g] = r
     gap_map = {key: r for key, r in zip(gap_of, gap_results)}
 
     out: List[Result] = []

@@ -309,9 +309,32 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
     return segs  # type: ignore[return-value]
 
 
+def _device_w_cap(mode, bk, ts_list, qs_list) -> int:
+    """Largest band window the current backend can serve for this batch.
+    The fused kernel handles W<=32768 on TPU; batches it cannot take
+    (sequences beyond its word-table capacity) fall to the lax engine,
+    which on TPU is capped below its known-bad W=16384 region
+    (PERF_NOTES.md); on CPU there is no cap."""
+    if jax.default_backend() != "tpu":
+        return 1 << 30
+    cpw = _cpw_for(ts_list, qs_list)
+    from ..ops import wavefront_kernel as wk
+    max_len = (wk.NTAB * wk.NTAB - 2) * cpw
+    fits = all(len(s) <= max_len for s in ts_list) and \
+        all(len(s) <= max_len for s in qs_list)
+    return 32768 if fits else 8192
+
+
 def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
-                *, w0: int = 512, s0: int = 512) -> List[Result]:
-    """Exact alignment of a batch of (target, query) pairs."""
+                *, w0: int = 512, s0: int = 512,
+                band_limit: str = "raise") -> List[Result]:
+    """Exact alignment of a batch of (target, query) pairs.
+
+    ``band_limit`` controls what happens when a pair's band outgrows the
+    largest window the backend can serve: "raise" (default) raises a
+    RuntimeError; "stop" returns s=-1 for those pairs like a max_iter
+    stop (the auto driver's policy — it falls back to chaining,
+    mirroring mwf_wfa_auto's treatment of failure, miniwfa.c:903-907)."""
     ts_list = [as_bytes(t) for t, _ in pairs]
     qs_list = [as_bytes(q) for _, q in pairs]
     n = len(pairs)
@@ -320,6 +343,10 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         return []
     bk = _buckets_for(opt, ts_list, qs_list, w0, s0)
     ns = opt.max_pen + 1
+    w_cap = _device_w_cap(None, bk, ts_list, qs_list)
+    if bk.W > w_cap:
+        bk = _Buckets(bk.B, bk.LT, bk.LQ, w_cap, bk.S_CAP,
+                      bk.W_full, bk.S_full)
 
     segs: Optional[List[Optional[Seg]]] = None
     if opt.step > 0 and opt.cigar:
@@ -381,11 +408,31 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                                          int(last_state[j]))
             results[i] = Result(s=s, cigar=cig, n_iter=n_iter)
         if retry:
-            cur_bk = _escalate(cur_bk,
-                               bool(np.asarray(out["ovf_band"])[: len(idx)].any()),
-                               bool(np.asarray(out["ovf_scap"])[: len(idx)].any()))
-            cur_bk = _Buckets(_next_pow2(max(1, len(retry))), cur_bk.LT, cur_bk.LQ,
-                              cur_bk.W, cur_bk.S_CAP, cur_bk.W_full, cur_bk.S_full)
+            ovf_b = np.asarray(out["ovf_band"])[: len(idx)]
+            need_band = bool(ovf_b.any())
+            need_scap = bool(np.asarray(out["ovf_scap"])[: len(idx)].any())
+            if need_band and cur_bk.W >= min(cur_bk.W_full, w_cap):
+                # the band outgrew the largest device-servable window
+                if band_limit != "stop":
+                    raise RuntimeError(
+                        f"band window exceeded the device limit "
+                        f"(W={cur_bk.W}, cap {w_cap}) — use the chain or "
+                        f"auto mode for this pair, or the CPU backend")
+                kept = []
+                for j, i in enumerate(idx):
+                    if ovf_b[j]:
+                        n_iter = (int(ni_hi[j]) << 30) | int(ni_lo[j])
+                        results[i] = Result(s=-1, cigar=None, n_iter=n_iter)
+                    elif i in retry:
+                        kept.append(i)
+                retry = kept
+                need_band = False
+            if retry:
+                cur_bk = _escalate(cur_bk, need_band, need_scap)
+                cur_bk = _Buckets(_next_pow2(max(1, len(retry))),
+                                  cur_bk.LT, cur_bk.LQ,
+                                  min(cur_bk.W, w_cap), cur_bk.S_CAP,
+                                  cur_bk.W_full, cur_bk.S_full)
         idx = retry
     return results  # type: ignore[return-value]
 
