@@ -116,8 +116,8 @@ def _escalate(bk: _Buckets, ovf_band: bool, ovf_scap: bool) -> _Buckets:
     return _Buckets(bk.B, bk.LT, bk.LQ, W, S, bk.W_full, bk.S_full)
 
 
-def _kernel_eligible(mode: int, bk: _Buckets, ts_list, qs_list,
-                     cpw: int) -> bool:
+def _kernel_eligible(opt: Options, mode: int, bk: _Buckets,
+                     ts_list, qs_list, cpw: int) -> bool:
     """The fused-cycle Pallas kernel (ops/wavefront_kernel.py) serves
     SCORE/TB modes on the TPU backend for windows up to W=32768 and
     sequences within its word-table capacity; everything else uses the
@@ -130,7 +130,11 @@ def _kernel_eligible(mode: int, bk: _Buckets, ts_list, qs_list,
         return False
     if mode not in (MODE_SCORE, MODE_TB, MODE_PASS1):
         return False
-    if bk.W < 1024 or bk.W > 32768 or bk.W % 1024:
+    # pass 1 carries shadow pointer rings (~2x ring VMEM): cap its window
+    w_max = 32768 if mode == MODE_PASS1 else 65536
+    if bk.W < 1024 or bk.W > w_max or bk.W % 1024:
+        return False
+    if opt.max_pen + 1 > 31:   # bit-packed viability plane holds NS bits
         return False
     # the kernel runs one lane per sequential grid step (~ms fixed cost per
     # lane); a big batch of small alignments (chain-mode gap fills) is
@@ -139,9 +143,9 @@ def _kernel_eligible(mode: int, bk: _Buckets, ts_list, qs_list,
     if eng != "kernel" and len(ts_list) > 64 and bk.W < 8192:
         return False
     from ..ops import wavefront_kernel as wk
-    max_len = (wk.NTAB * wk.NTAB - 2) * cpw
-    return all(len(s) <= max_len for s in ts_list) and \
-        all(len(s) <= max_len for s in qs_list)
+    mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
+             default=0)
+    return wk.nseg_for(mx, cpw) <= 64  # segmented HBM word tables
 
 
 def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
@@ -177,7 +181,8 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
         max_s=0 if is_p1 else opt.max_s,
         max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
-        n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0)
+        n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0,
+        nseg=max(wk.nseg_for(bk.LT, cpw), wk.nseg_for(bk.LQ, cpw)))
     pad_t = ts_list + [b""] * (B - n)
     pad_q = qs_list + [b""] * (B - n)
     nsc = wk.SC_SEG + 2 * seg_cap
@@ -195,8 +200,8 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
             scal[i, wk.SC_SEG:wk.SC_SEG + len(sg)] = [s for s, _ in sg]
             scal[i, wk.SC_SEG + seg_cap:wk.SC_SEG + seg_cap + len(sg)] = \
                 [d for _, d in sg]
-    twt = wk.pack_table(pad_t, cpw)
-    twq = wk.pack_table(pad_q, cpw)
+    twt = wk.pack_table(pad_t, cpw, spec.nseg)
+    twq = wk.pack_table(pad_q, cpw, spec.nseg)
     interp = os.environ.get("MWF_ENGINE") == "kernel-interpret"
     fn = wk.get_kernel(spec, interpret=interp)
     out = dict(fn(scal, twt, twq))
@@ -209,7 +214,7 @@ def _run_device(opt: Options, mode: int, bk: _Buckets,
                 ts_list: List[bytes], qs_list: List[bytes],
                 segs: Optional[List[Optional[Seg]]] = None):
     cpw = _cpw_for(ts_list, qs_list)
-    if _kernel_eligible(mode, bk, ts_list, qs_list, cpw):
+    if _kernel_eligible(opt, mode, bk, ts_list, qs_list, cpw):
         return _run_device_kernel(opt, mode, bk, ts_list, qs_list, segs, cpw)
     n = len(ts_list)
     B = bk.B
@@ -319,10 +324,9 @@ def _device_w_cap(mode, bk, ts_list, qs_list) -> int:
         return 1 << 30
     cpw = _cpw_for(ts_list, qs_list)
     from ..ops import wavefront_kernel as wk
-    max_len = (wk.NTAB * wk.NTAB - 2) * cpw
-    fits = all(len(s) <= max_len for s in ts_list) and \
-        all(len(s) <= max_len for s in qs_list)
-    return 32768 if fits else 8192
+    mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
+             default=0)
+    return 65536 if wk.nseg_for(mx, cpw) <= 64 else 8192
 
 
 def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,

@@ -69,8 +69,14 @@ MODE_SCORE = 0
 MODE_TB = 1
 MODE_PASS1 = 2
 
-NTAB = 128        # word-table rows/cols: capacity 128*128 packed words
-MAXR_SAFETY = 1 << 20  # extension-round hard bound (progress-guaranteed)
+NTAB = 128        # word-table rows/cols: one segment = 128*128 packed words
+SEGSTRIDE = 127   # segments overlap by one 128-word block so a row's
+                  # 2-block window never straddles a segment boundary
+import os as _os
+MAXR_SAFETY = int(_os.environ.get("MWF_MAXR_SAFETY", 1 << 20))
+# extension-round hard bound; refill progress makes this unreachable in
+# correct operation (a small override turns a suspected livelock into a
+# visible band-overflow for debugging)
 
 # scalar-input layout (per lane): [tl, ql, anc, n_seg, seg_s..., seg_d...]
 SC_TL, SC_QL, SC_ANC, SC_NSEG, SC_SEG = 0, 1, 2, 3, 4
@@ -101,6 +107,8 @@ class KSpec:
     max_iter: int = 0
     step: int = 0    # low-mem snapshot period (pass 1)
     n_snap: int = 0  # snapshot row capacity (pass 1)
+    nseg: int = 1    # word-table segments (each 128*128 words); the
+                     # resident segment lives in VMEM, others in HBM
 
     @property
     def W(self) -> int:
@@ -112,7 +120,8 @@ class KSpec:
 
     @property
     def max_len(self) -> int:
-        return (NTAB * NTAB - 2) * self.cpw
+        nblk = (self.nseg - 1) * SEGSTRIDE + NTAB
+        return (nblk * NTAB - 2 * NTAB) * self.cpw
 
 
 def _ages(spec: KSpec):
@@ -233,10 +242,11 @@ def build_kernel(spec: KSpec):
         (rH, rE1, rF1, rE2, rF2, vb,
          tH, tE1, tF1, tE2, tF2,
          wta, wtb, wqa, wqb, baT, baQ,
-         pbits, tbrow, sem) = refs[:20]
+         pbits, tbrow, sem,
+         twtv, twqv, cs, sem2, wtmp) = refs[:25]
         if is_p1:
             (sH, sE1, sF1, sE2, sF2,
-             tHs, tE1s, tF1s, tE2s, tF2s, bnd_lo, bnd_hi) = refs[20:]
+             tHs, tE1s, tF1s, tE2s, tF2s, bnd_lo, bnd_hi) = refs[25:]
 
         b = pl.program_id(0)
         tl = scal_ref[b, SC_TL]
@@ -251,8 +261,7 @@ def build_kernel(spec: KSpec):
                             (rE2, DE2), (rF2, DE2)):
             for j in range(depth):
                 ring[j] = jnp.full((WR, 128), NEG, jnp.int32)
-        for j in range(NS):
-            vb[j] = jnp.zeros((WR, 128), jnp.int32)
+        vb[:] = jnp.zeros((WR, 128), jnp.int32)
         # score-0 top: H[d=0] = -1 (miniwfa.c:119)
         tH[:] = jnp.where(DD == 0, -1, NEG)
         for r in (tE1, tF1, tE2, tF2):
@@ -262,6 +271,15 @@ def build_kernel(spec: KSpec):
         baT[:] = jnp.full((WR, 128), BIG, jnp.int32)  # all-miss
         baQ[:] = jnp.full((WR, 128), BIG, jnp.int32)
         pbits[:] = jnp.zeros((WR, 128), jnp.int32)
+        # resident word-table segment per side: start at segment 0
+        cp0 = pltpu.make_async_copy(twt_ref.at[b, 0], twtv, sem2)
+        cp0.start()
+        cp0.wait()
+        cp1 = pltpu.make_async_copy(twq_ref.at[b, 0], twqv, sem2)
+        cp1.start()
+        cp1.wait()
+        cs[0] = 0
+        cs[1] = 0
         if is_p1:
             for ring, depth in ((sH, DH), (sE1, DE1), (sF1, DE1),
                                 (sE2, DE2), (sF2, DE2)):
@@ -276,6 +294,8 @@ def build_kernel(spec: KSpec):
                 bnd_hi[j] = 0
 
 
+        NSEGB = (spec.nseg - 1) * SEGSTRIDE + NTAB  # global block count
+
         def refill(needy, jT, jQ):
             """Re-window rows with out-of-window probes.  Per needy row ONE
             element is elected (smallest target word, then smallest query
@@ -283,9 +303,15 @@ def build_kernel(spec: KSpec):
             the two sides on different elements can ping-pong forever when a
             row's live probes span more than a window (the cross-side
             livelock).  The elected element is guaranteed covered, so every
-            refill makes progress.  Non-needy rows re-gather their current
-            blocks (idempotent — lets the window writes go unmasked, which
-            avoids a TPU-compiler abort on masked transpose stores)."""
+            refill makes progress.
+
+            Long sequences: the word table lives in HBM as overlapping
+            segments (stride 127 of 128 blocks, so a row's 2-block window
+            never straddles a segment); one segment per side is resident in
+            VMEM.  When the globally smallest needy row's block lies in
+            another segment, that segment is DMA'd in (so that row refills
+            next round — progress); rows whose blocks are NOT resident get
+            their windows invalidated (base=BIG) instead of garbage."""
             has = jnp.any(needy, axis=1, keepdims=True)           # [WR,1]
             jTn = jnp.where(needy, jT, BIG)
             jminT = jnp.min(jTn, axis=1, keepdims=True)
@@ -294,16 +320,62 @@ def build_kernel(spec: KSpec):
                             keepdims=True)
 
             def pick(base, jmin):
-                a_new = jnp.clip(jmin >> 7, 0, NTAB - 1)
-                a_cur = jnp.clip(base[:, 0:1] >> 7, 0, NTAB - 1)
+                a_new = jnp.clip(jmin >> 7, 0, NSEGB - 1)
+                a_cur = jnp.clip(base[:, 0:1] >> 7, 0, NSEGB - 1)
                 return jnp.where(has, a_new, a_cur)               # [WR,1]
 
             aT = pick(baT, jminT)
             aQ = pick(baQ, jminQ)
-            baT[:] = jnp.where(has, aT * 128, baT[:])
-            baQ[:] = jnp.where(has, aQ * 128, baQ[:])
-            twt = twt_ref[0]
-            twq = twq_ref[0]
+            if spec.nseg > 1:
+                # BOTH resident segments follow the same globally-elected
+                # row (smallest target block among needy rows, then its
+                # query block) — independent per-side choices can chase
+                # different rows and deadlock, the cross-side livelock at
+                # segment granularity
+                any_has = jnp.any(has)
+                gT = jnp.min(jnp.where(has, aT, NSEGB))
+                sel_rows = has & (aT == gT)
+                gQ = jnp.min(jnp.where(sel_rows, aQ, NSEGB))
+                segT = jnp.clip(gT // SEGSTRIDE, 0, spec.nseg - 1)
+                segQ = jnp.clip(gQ // SEGSTRIDE, 0, spec.nseg - 1)
+
+                @pl.when(any_has & (segT != cs[0]))
+                def _():
+                    cp = pltpu.make_async_copy(twt_ref.at[b, segT], twtv,
+                                               sem2)
+                    cp.start()
+                    cp.wait()
+                    cs[0] = segT
+
+                @pl.when(any_has & (segQ != cs[1]))
+                def _():
+                    cp = pltpu.make_async_copy(twq_ref.at[b, segQ], twqv,
+                                               sem2)
+                    cp.start()
+                    cp.wait()
+                    cs[1] = segQ
+
+                cst, csq = cs[0], cs[1]
+            else:
+                cst = csq = 0
+            resT = (jnp.clip(aT // SEGSTRIDE, 0, spec.nseg - 1) == cst)
+            resQ = (jnp.clip(aQ // SEGSTRIDE, 0, spec.nseg - 1) == csq)
+            # only rows whose elected blocks are resident are (re)windowed;
+            # others keep their current (still valid) windows and wait for
+            # the resident segment to rotate to them — rewriting them with
+            # non-resident garbage would invalidate half the band on every
+            # segment switch (a refill storm when the band straddles a
+            # segment boundary)
+            mf = has & resT & resQ  # both windows re-center together
+            baT[:] = jnp.broadcast_to(jnp.where(mf, aT * 128, baT[:, 0:1]),
+                                      (WR, 128))
+            baQ[:] = jnp.broadcast_to(jnp.where(mf, aQ * 128, baQ[:, 0:1]),
+                                      (WR, 128))
+            mpad = jnp.broadcast_to(mf, (WR, 128))
+            aTloc = jnp.clip(aT - cst * SEGSTRIDE, 0, NTAB - 1)
+            aQloc = jnp.clip(aQ - csq * SEGSTRIDE, 0, NTAB - 1)
+            twt = twtv[:]
+            twq = twqv[:]
             # band rows are re-windowed in 128-row blocks (the gather dim
             # is capped at one vreg = 128 lanes): [<=128,1] slice of the
             # per-row block ids -> lane vector -> broadcast rows.
@@ -319,7 +391,11 @@ def build_kernel(spec: KSpec):
                             [a, jnp.zeros((pad, 1), jnp.int32)], 0)
                     return a
 
-                aTl, aQl = lanes(aT), lanes(aQ)
+                mrow = mpad[r0:r1]
+                if pad:
+                    mrow = jnp.concatenate(
+                        [mrow, jnp.zeros((pad, 128), bool)], 0)
+                aTl, aQl = lanes(aTloc), lanes(aQloc)
                 # NOTE: arithmetic on these broadcast transposes crashes
                 # the TPU compiler ("limits <= dim" abort) — the +1 for
                 # the second window block is applied to the narrow vector
@@ -334,9 +410,12 @@ def build_kernel(spec: KSpec):
                 def fill(win_ref, tw, idx):
                     g0 = jnp.take_along_axis(tw[0:64], idx[0:64], axis=1)
                     g1 = jnp.take_along_axis(tw[64:128], idx[64:128], axis=1)
-                    # full [128,128] block write: a sublane slice of a
-                    # transpose result aborts the TPU compiler
-                    win_ref[r0:r0 + NTAB] = jnp.concatenate([g0, g1], 0).T
+                    # a masked store of a transpose result aborts the TPU
+                    # compiler: write the transpose to a temp, then do a
+                    # plain masked select of two scratch values
+                    wtmp[:] = jnp.concatenate([g0, g1], 0).T
+                    win_ref[r0:r0 + NTAB] = jnp.where(
+                        mrow, wtmp[:], win_ref[r0:r0 + NTAB])
 
                 fill(wta, twt, idxT)
                 fill(wtb, twt, idxT1)
@@ -400,9 +479,10 @@ def build_kernel(spec: KSpec):
                     refill(needy, jT2, jQ2)
                 return k, un.astype(jnp.int32), rnd + 1
 
-            k, _, _ = lax.while_loop(
+            k, un_i, rnd = lax.while_loop(
                 cond, body, (k, elig.astype(jnp.int32), jnp.int32(0)))
-            return k
+            stuck = rnd >= MAXR_SAFETY
+            return k, stuck
 
         def rd(ring, depth, top_ref, t, age):
             """Source slice at score t+1-age: the top registers when age==1,
@@ -427,9 +507,10 @@ def build_kernel(spec: KSpec):
             in_top = (DD >= t_lo) & (DD <= t_hi)
             elig = in_top & (k_old >= -1) & (DD + k_old >= -1) \
                 & (k_old < tl) & (DD + k_old < ql)
-            k_new = extend(k_old, elig)
+            k_new, ext_stuck = extend(k_old, elig)
             k_new = jnp.where(elig, k_new, k_old)
             tH[:] = k_new
+            ovf = ovf | ext_stuck  # never in correct operation
 
             # --- 2. termination (miniwfa.c:405-408)
             at_end = elig & (DD == d_end)
@@ -487,7 +568,10 @@ def build_kernel(spec: KSpec):
                 viab = jnp.zeros((WR, 128), bool)
                 for r in (tH, tE1, tF1, tE2, tF2):
                     viab |= good_diag(r[:])
-                vb[t % NS] = (viab & in_top).astype(jnp.int32)
+                # bit-packed slice viability: bit j = slice of score t-j
+                # (kept NS deep; requires NS <= 31, enforced by the host)
+                vb[:] = ((vb[:] << 1) | (viab & in_top).astype(jnp.int32)) \
+                    & ((1 << NS) - 1)
                 if is_p1:
                     sH[slot(DH)] = tHs[:]
                     sE1[slot(DE1)] = tE1s[:]
@@ -607,10 +691,10 @@ def build_kernel(spec: KSpec):
             # good-diagonal hull over the NS retired slices (minus the
             # stale slot for score t+1-NS) plus the new tops
             sh_due = act & (((t + 1) & 0xFF) == 0)
-            stale = (t + 1) % NS
             good = viable & (DD >= t_lo) & (DD <= t_hi)
-            for j in range(NS):
-                good |= (vb[j] != 0) & (j != stale)
+            # retired slices of scores t..t-NS+2 (the stale score t+1-NS
+            # slice is bit NS-1, excluded — miniwfa.c:144-171 semantics)
+            good |= (vb[:] & ((1 << (NS - 1)) - 1)) != 0
             good &= (DD >= wf_lo) & (DD <= wf_hi)
             has = jnp.any(good)
             new_lo = jnp.min(jnp.where(good, DD, BIG))
@@ -680,7 +764,7 @@ def build_kernel(spec: KSpec):
         pltpu.VMEM((DE1, WR, 128), jnp.int32),   # rF1
         pltpu.VMEM((DE2, WR, 128), jnp.int32),   # rE2
         pltpu.VMEM((DE2, WR, 128), jnp.int32),   # rF2
-        pltpu.VMEM((NS, WR, 128), jnp.int32),    # vb
+        pltpu.VMEM((WR, 128), jnp.int32),        # vb (bit-packed)
         pltpu.VMEM((WR, 128), jnp.int32),        # tH
         pltpu.VMEM((WR, 128), jnp.int32),        # tE1
         pltpu.VMEM((WR, 128), jnp.int32),        # tF1
@@ -695,6 +779,11 @@ def build_kernel(spec: KSpec):
         pltpu.VMEM((WR, 128), jnp.int32),        # pbits
         pltpu.VMEM((WR, 128), jnp.int32),        # tbrow
         pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((NTAB, NTAB), jnp.int32),     # twtv (resident segment)
+        pltpu.VMEM((NTAB, NTAB), jnp.int32),     # twqv
+        pltpu.SMEM((2,), jnp.int32),             # cs (resident seg ids)
+        pltpu.SemaphoreType.DMA,                 # sem2 (table DMA)
+        pltpu.VMEM((NTAB, NTAB), jnp.int32),     # wtmp (masked-fill temp)
     ]
     if is_p1:
         scratch += [
@@ -716,10 +805,10 @@ def build_kernel(spec: KSpec):
         num_scalar_prefetch=1,
         grid=(spec.B,),
         in_specs=[
-            pl.BlockSpec((1, NTAB, NTAB), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NTAB, NTAB), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # full [B, nseg, 128, 128] word tables stay in HBM; the
+            # resident segment is DMA'd into VMEM per lane
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
@@ -772,16 +861,26 @@ def get_kernel(spec: KSpec, interpret: bool = False):
     return jax.jit(run)
 
 
-def pack_table(seqs, cpw: int):
-    """Pack sequences into the kernel's transposed word table
-    [B, 128, 128] int32: twT[j, a] = packed word a*128 + j, word w holding
-    chars [w*cpw, (w+1)*cpw) little-endian (BITS bits per char)."""
+def nseg_for(length: int, cpw: int) -> int:
+    """Segments needed for a sequence length (word-table capacity)."""
+    nw = length // cpw + 2
+    nb = -(-nw // NTAB)
+    return 1 if nb <= NTAB else -(-(nb - NTAB) // SEGSTRIDE) + 1
+
+
+def pack_table(seqs, cpw: int, nseg: int = 1):
+    """Pack sequences into the kernel's segmented transposed word tables
+    [B, nseg, 128, 128] int32: segment s, entry [j, a] = packed word
+    s*SEGSTRIDE*128 + a*128 + j, each word holding cpw chars little-endian.
+    Segments overlap by one 128-word block (SEGSTRIDE=127) so a row's
+    2-block probe window never straddles a segment boundary."""
     import numpy as np
     from . import pack as pk
 
     bits = 2 if cpw == 16 else 8
     b = len(seqs)
-    out = np.zeros((b, NTAB * NTAB), dtype=np.uint32)
+    nblk = (nseg - 1) * SEGSTRIDE + NTAB
+    flat = np.zeros((b, nblk * NTAB), dtype=np.uint32)
     for i, s in enumerate(seqs):
         if not len(s):
             continue
@@ -794,6 +893,10 @@ def pack_table(seqs, cpw: int):
         w = np.zeros(nw, dtype=np.uint32)
         for j in range(cpw):
             w |= v[:, j] << np.uint32(bits * j)
-        out[i, :nw] = w
-    return np.ascontiguousarray(
-        out.reshape(b, NTAB, NTAB).transpose(0, 2, 1)).view(np.int32)
+        flat[i, :nw] = w
+    out = np.empty((b, nseg, NTAB, NTAB), dtype=np.uint32)
+    for sgi in range(nseg):
+        off = sgi * SEGSTRIDE * NTAB
+        out[:, sgi] = flat[:, off:off + NTAB * NTAB] \
+            .reshape(b, NTAB, NTAB).transpose(0, 2, 1)
+    return np.ascontiguousarray(out).view(np.int32)
