@@ -35,6 +35,8 @@ Options:
   -B INT   batch size for device dispatch [64]
   -K       (accepted for compatibility; no allocator to disable)
   -d       debug logging
+Timing: stderr 'T' lines report the batch wall time amortized per pair
+(batched device dispatch), not true per-pair CPU time like the reference.
 """
 
 

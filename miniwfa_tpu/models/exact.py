@@ -182,7 +182,12 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
         max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
         n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0,
-        nseg=max(wk.nseg_for(bk.LT, cpw), wk.nseg_for(bk.LQ, cpw)))
+        # nseg from the ACTUAL max length (the value _kernel_eligible
+        # checked), not the pow2 bucket — segment granularity (~254 kb at
+        # cpw=16) is coarse enough that jit sharing is unaffected
+        nseg=wk.nseg_for(
+            max([len(s) for s in ts_list] + [len(s) for s in qs_list],
+                default=0), cpw))
     pad_t = ts_list + [b""] * (B - n)
     pad_q = qs_list + [b""] * (B - n)
     nsc = wk.SC_SEG + 2 * seg_cap

@@ -192,10 +192,16 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
                     snap_row, anc_row, int(sm["snap_cnt"][row]),
                     int(sm["last_ptr"][row]), ns, spec.W, opt.step)
             if retry:
+                W2, S2 = W, S_CAP
                 if sm["ovf_band"][:len(idx)].any():
-                    W = min(W * 4, bk.W_full)
+                    W2 = min(W * 4, bk.W_full)
                 if sm["ovf_scap"][:len(idx)].any():
-                    S_CAP = min(S_CAP * 4, bk.S_full)
+                    S2 = min(S_CAP * 4, bk.S_full)
+                if (W2, S2) == (W, S_CAP):
+                    raise RuntimeError(
+                        "sharded pass-1 escalation stuck at full caps "
+                        f"(W={W}, S_CAP={S_CAP}) — engine bug")
+                W, S_CAP = W2, S2
             idx = retry
         if jax.process_count() > 1:
             segs = _sync_segs(segs)
@@ -236,9 +242,15 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
                                          int(sm["last_state"][row]))
             results[i] = Result(s=s_fin, cigar=cig, n_iter=n_iter)
         if retry:
+            W2, S2 = W, S_CAP
             if sm["ovf_band"][:len(idx)].any():
-                W = min(W * 4, bk.W_full)
+                W2 = min(W * 4, bk.W_full)
             if sm["ovf_scap"][:len(idx)].any():
-                S_CAP = min(S_CAP * 4, bk.S_full)
+                S2 = min(S_CAP * 4, bk.S_full)
+            if (W2, S2) == (W, S_CAP):
+                raise RuntimeError(
+                    "sharded escalation stuck at full caps "
+                    f"(W={W}, S_CAP={S_CAP}) — engine bug")
+            W, S_CAP = W2, S2
         idx = retry
     return results

@@ -7,13 +7,13 @@ data mesh over every device in the job, and ``align_batch_sharded`` runs
 over it with scores/cell counters merged by ``psum`` inside the compiled
 program (over ICI within a host, DCN across hosts).
 
-CAVEAT (multi-process): align_batch_sharded's host side currently assumes
-every lane is addressable (np.asarray on globally-sharded outputs and
-whole-buffer tb fetch), which holds on a single host with any number of
-local devices; on a true multi-host mesh route per-host shards through
-``jax.experimental.multihost_utils.process_allgather`` or fetch only the
-addressable shards — see tests/test_multiprocess.py for the 2-process
-CPU harness that exercises this path.
+Multi-process contract (implemented in parallel/batch.py): small per-lane
+outputs are ``process_allgather``'d so every process returns them for
+every pair; traceback/snapshot buffers are fetched per lane from the
+LOCAL addressable shard only (never the whole global array), and low-mem
+checkpoint lists are exchanged with ``_sync_segs`` so pass-2 inputs are
+identical across processes.  tests/test_multiprocess.py runs a real
+2-process ``jax.distributed`` job over this path.
 """
 
 from __future__ import annotations

@@ -24,8 +24,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed():
+    # (no pytest-timeout plugin in this image; communicate(timeout=540)
+    # below is the effective guard)
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}

@@ -134,6 +134,12 @@ def check_pair(ts, qs, mode, rng, align_mod):
         r = align_mod.align_batch([(ts, qs)], Options(), w0=1024)[0]
         if r.s != s_ref:
             return f"exact s={r.s} want {s_ref}"
+        if max(len(ts), len(qs)) <= 3000:
+            # third vote: the independent O(n^2) DP (tools/dp_oracle.py)
+            from tools.dp_oracle import dp_score
+            s_dp = dp_score(ts, qs)
+            if s_dp != s_ref:
+                return f"exact DP-oracle s={s_dp} vs reference {s_ref}"
     elif mode == "cigar":
         s_ref, cg = ref_align(ts, qs, ("-c",))
         r = align_mod.align_batch([(ts, qs)], Options(cigar=True),
