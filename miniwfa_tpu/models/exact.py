@@ -166,7 +166,7 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
         np_planes = wk.snapshot_layout(
             wk.KSpec(B=1, WR=bk.W // 128, S_CAP=bk.S_CAP, x=opt.x,
                      o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2))[5]
-        per_lane = n_snap * np_planes * bk.W * 4
+        per_lane = n_snap * np_planes * (bk.W // 128 + 8) * 128 * 4
         if per_lane > PASS1_SNAP_BUDGET:
             raise RuntimeError(
                 f"low-mem snapshot buffer {per_lane/2**30:.1f} GiB/lane at "
@@ -272,12 +272,35 @@ def _pass1_lane_cap(opt: Options, bk: _Buckets) -> int:
     return max(1, PASS1_SNAP_BUDGET // max(per_lane, 1))
 
 
-def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
+def _pass1_w_cap(ts_list, qs_list) -> int:
+    """Largest pass-1 band window the backend can serve.  On TPU the
+    fused kernel takes PASS1 up to W=32768 (its sf shadow rings double
+    the ring VMEM); beyond that there is NO safe engine on TPU (the lax
+    engine has a known fault region at W=16384, PERF_NOTES.md), so the
+    driver raises instead of silently falling through."""
+    if jax.default_backend() != "tpu":
+        return 1 << 30
+    from ..ops import wavefront_kernel as wk
+    cpw = _cpw_for(ts_list, qs_list)
+    mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
+             default=0)
+    return 32768 if wk.nseg_for(mx, cpw) <= 64 else 8192
+
+
+def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
+               ) -> Tuple[List[Seg], List[int]]:
     """Low-mem pass 1 for a batch; returns per-pair checkpoint lists
-    (reference mwf_wfa_seg, miniwfa.c:551-601)."""
+    (reference mwf_wfa_seg, miniwfa.c:551-601) plus each pair's optimal
+    score (pass 2 reaches exactly the same score, so its cycle budget
+    can be sized precisely instead of laddered)."""
     ns = opt.max_pen + 1
+    w_cap = _pass1_w_cap(ts_list, qs_list)
+    if bk.W > w_cap:
+        bk = _Buckets(bk.B, bk.LT, bk.LQ, w_cap, bk.S_CAP,
+                      bk.W_full, bk.S_full)
     idx = list(range(len(ts_list)))
     segs: List[Optional[Seg]] = [None] * len(ts_list)
+    s_fin: List[int] = [0] * len(ts_list)
     while idx:
         cap = _pass1_lane_cap(opt, bk)
         chunk, idx_rest = idx[:cap], idx[cap:]
@@ -290,6 +313,7 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
         ovf = np.asarray(out["overflow"])[: len(idx)]
         snap_cnt = np.asarray(out["snap_cnt"])
         last_ptr = np.asarray(out["last_ptr"])
+        fs = np.asarray(out["final_s"])
         anc_np = np.asarray(out["anc"]) if "kernel_cpw" in out else None
         snap_x = None
         retry = []
@@ -297,6 +321,7 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
             if ovf[j]:
                 retry.append(i)
                 continue
+            s_fin[i] = int(fs[j])
             if "kernel_cpw" in out:
                 cnt = int(snap_cnt[j])
                 sx = np.asarray(jax.device_get(out["snap"][j, :max(cnt, 1)]))
@@ -310,13 +335,18 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list) -> List[Seg]:
                 snap_x[j], snap_anc[j], int(snap_cnt[j]),
                 int(last_ptr[j]), ns, spec.W, opt.step)
         if retry:
-            bk = _escalate(bk,
-                           bool(np.asarray(out["ovf_band"])[: len(idx)].any()),
+            need_band = bool(np.asarray(out["ovf_band"])[: len(idx)].any())
+            if need_band and bk.W >= min(bk.W_full, w_cap):
+                raise RuntimeError(
+                    f"low-mem pass-1 band exceeded the device limit "
+                    f"(W={bk.W}, cap {w_cap}) — use the chain or auto "
+                    f"mode for this pair, or the CPU backend")
+            bk = _escalate(bk, need_band,
                            bool(np.asarray(out["ovf_scap"])[: len(idx)].any()))
             bk = _Buckets(_next_pow2(max(1, len(retry))), bk.LT, bk.LQ,
-                          bk.W, bk.S_CAP, bk.W_full, bk.S_full)
+                          min(bk.W, w_cap), bk.S_CAP, bk.W_full, bk.S_full)
         idx = retry + idx_rest
-    return segs  # type: ignore[return-value]
+    return segs, s_fin  # type: ignore[return-value]
 
 
 def _device_w_cap(mode, bk, ts_list, qs_list) -> int:
@@ -359,11 +389,16 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
 
     segs: Optional[List[Optional[Seg]]] = None
     if opt.step > 0 and opt.cigar:
-        segs = _run_pass1(opt, bk, ts_list, qs_list)
-        # pass 2 runs with the band collapsed to ≤ 2·step+1 at checkpoints
+        segs, s_p1 = _run_pass1(opt, bk, ts_list, qs_list)
+        # pass 2 runs with the band collapsed to ≤ 2·step+1 at
+        # checkpoints, and reaches exactly pass 1's optimal score — size
+        # its cycle budget from that instead of the pow2 ladder (at 5 Mb
+        # scale a pow2 jump would double a multi-GB tb buffer)
+        s_cap2 = -(-(max(s_p1) + 4) // 4096) * 4096
         bk = _Buckets(bk.B, bk.LT, bk.LQ,
                       W=min(_next_pow2(2 * opt.step + 2 * ns + 24), bk.W_full),
-                      S_CAP=bk.S_CAP, W_full=bk.W_full, S_full=bk.S_full)
+                      S_CAP=min(s_cap2, bk.S_full),
+                      W_full=bk.W_full, S_full=bk.S_full)
 
     mode = MODE_TB if opt.cigar else MODE_SCORE
     idx = list(range(n))
@@ -398,13 +433,23 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
             if opt.cigar and is_kernel and \
                     not os.environ.get("MWF_NO_DEVICE_WALK"):
                 # kernel results have a constant window anchor: walk the
-                # HBM-resident tb buffer on-device and fetch only the runs
-                # (the [S_CAP, W] buffer is ~GBs at 100kb scale)
+                # HBM-resident packed tb buffer on-device and fetch only
+                # the runs (the buffer is ~GBs at 100kb-5Mb scale)
                 from ..ops import traceback_device as tbd
                 cig = tbd.walk_on_device(
-                    out["tb_bits"][j], int(anc_np[j]), ts_list[i],
+                    out["tb_packed"][j], int(anc_np[j]), ts_list[i],
                     qs_list[i], s, int(last_state[j]), out["kernel_cpw"],
                     (opt.x, opt.o1, opt.e1, opt.o2, opt.e2))
+            elif opt.cigar and is_kernel:
+                # host walk over the unpacked rows (debug/fallback path)
+                from ..ops import wavefront_kernel as wk
+                pk_rows = np.asarray(
+                    jax.device_get(out["tb_packed"][j, :max(s, 1)]))
+                tbl = wk.unpack_tb(pk_rows)
+                lo_rows = np.full((max(s, 1),), int(anc_np[j]), np.int32)
+                cig = tbk.traceback_walk(opt, tbl, lo_rows, 0,
+                                         ts_list[i], qs_list[i], s,
+                                         int(last_state[j]))
             elif opt.cigar:
                 if tb_bits is None:
                     smax = int(final_s.max())

@@ -98,7 +98,7 @@ def traceback_walk(
 
 
 def decode_checkpoints_kernel(
-    snap_x: np.ndarray,    # [n_snap_cap, NP*W] int32 (fused-kernel layout)
+    snap_x: np.ndarray,    # [n_snap_cap, NP*WP] int32 (fused-kernel layout)
     anc: int,              # constant window anchor of the lane
     snap_cnt: int,
     last_ptr: int,
@@ -108,9 +108,10 @@ def decode_checkpoints_kernel(
     (ops/wavefront_kernel.py snapshot block): a snapshot row serializes the
     sf rings — exactly the reachable slices, unlike the reference's full
     NS x 5 stripe (miniwfa.c:451-474) — and a flat pointer is
-    ``plane*W + w`` with plane mapping to (state ring, slot).  Slot j of a
-    depth-dp ring taken at score snap_s holds score
-    ``snap_s - ((snap_s - j) mod dp)``; diagonal = anc + w."""
+    ``plane*WP + w`` (WP = (WR+8)*128, the ring pad stride) with plane
+    mapping to (state ring, slot).  Slot j of a depth-dp ring taken at
+    score snap_s holds score ``snap_s - ((snap_s - j) mod dp)``;
+    diagonal = anc + w."""
     from ..ops import wavefront_kernel as wk
 
     p_h, p_e1, p_f1, p_e2, p_f2, _ = wk.snapshot_layout(spec)
@@ -118,7 +119,7 @@ def decode_checkpoints_kernel(
     DH = max(ages["x"], ages["o1"], ages["o2"])
     DE1 = max(ages["e1"], 1)
     DE2 = max(ages["e2"], 1)
-    W = spec.W
+    W = (spec.WR + 8) * 128
     segs: List[Tuple[int, int]] = []
     last = int(last_ptr)
     for c in range(snap_cnt - 1, -1, -1):

@@ -2,7 +2,8 @@
 
 The reference walks the 7-bit traceback buffer on the CPU it already owns
 (wf_traceback, miniwfa.c:329-377).  Here the buffer lives in device HBM
-([S_CAP, W] uint8, ~0.5 GB at 100 kb scale) and hauling it to the host
+in the kernel's packed layout ([S_CAP, W/512, 128] int32, 4 band rows per
+word = 1 byte/cell; ~GBs at 100 kb-5 Mb scale) and hauling it to the host
 dwarfs the alignment itself; instead the O(n+s) walk runs on-device as a
 ``lax.while_loop`` and only the packed CIGAR runs (a few 100 KB) come back.
 
@@ -29,8 +30,9 @@ OP_I, OP_D, OP_EQ, OP_X = 1, 2, 7, 8
 
 
 @functools.lru_cache(maxsize=64)
-def _get_walker(S_CAP: int, W: int, cpw: int,
+def _get_walker(S_CAP: int, WR4: int, cpw: int,
                 x: int, o1: int, e1: int, o2: int, e2: int):
+    W = WR4 * 4 * 128
     BITS = 32 // cpw
     LOGC = {16: 4, 4: 2}[cpw]
     LOGB = {16: 1, 4: 3}[cpw]
@@ -59,7 +61,8 @@ def _get_walker(S_CAP: int, W: int, cpw: int,
             w)
 
     def walk(tb, anc, tl, ql, tw, qw, s_final, last_state):
-        """tb: [S_CAP, W] uint8; tw/qw: flat packed word streams.
+        """tb: [S_CAP, WR4, 128] int32 packed (band row r = byte r%4 of
+        packed row r//4); tw/qw: flat packed word streams.
         Returns (buf [CAP] int32 packed runs newest-first, count)."""
         # each DP step decrements srow by >=1 (<= S_CAP pushes) and match
         # runs interleave DP steps (+1), so 2*S_CAP + 8 bounds the pushes
@@ -106,10 +109,14 @@ def _get_walker(S_CAP: int, W: int, cpw: int,
                             jnp.minimum(jnp.right_shift(clz, LOGB), valid))
             matching = (last == 0) & (run > 0)
 
-            # DP-byte decode (reference miniwfa.c:341-366)
+            # DP-byte decode (reference miniwfa.c:341-366); the tb cell
+            # lives in byte (col>>7)&3 of packed word [col>>9, col&127]
             col = jnp.clip((i - k) - anc, 0, W - 1)
-            byte = lax.dynamic_slice(tb, (jnp.maximum(srow, 0), col),
-                                     (1, 1))[0, 0].astype(jnp.int32)
+            word = lax.dynamic_slice(
+                tb, (jnp.maximum(srow, 0), col >> 9, col & 127),
+                (1, 1, 1))[0, 0, 0].astype(jnp.int32)
+            byte = jnp.right_shift(
+                word, ((col >> 7) & 3) * 8) & 0x7F
             state = jnp.where(last == 0, byte & 7, last)
             ext = jnp.where(state > 0,
                             jnp.right_shift(byte, state + 2) & 1, 0)
@@ -169,15 +176,16 @@ def pack_flat_words(seq: bytes, cpw: int) -> np.ndarray:
     return w.view(np.int32)
 
 
-def walk_on_device(tb_bits, anc: int, ts: bytes, qs: bytes, s_final: int,
+def walk_on_device(tb_packed, anc: int, ts: bytes, qs: bytes, s_final: int,
                    last_state: int, cpw: int, pens) -> list:
     """Run the device walker for one lane; returns the packed CIGAR list
-    (input order).  tb_bits: [S_CAP, W] uint8 device array."""
-    S_CAP, W = int(tb_bits.shape[0]), int(tb_bits.shape[1])
-    walker = _get_walker(S_CAP, W, cpw, *pens)
+    (input order).  tb_packed: [S_CAP, WR4, 128] int32 device array in
+    the kernel's 4-rows-per-word layout."""
+    S_CAP, WR4 = int(tb_packed.shape[0]), int(tb_packed.shape[1])
+    walker = _get_walker(S_CAP, WR4, cpw, *pens)
     tw = jnp.asarray(pack_flat_words(ts, cpw))
     qw = jnp.asarray(pack_flat_words(qs, cpw))
-    buf, nout = walker(tb_bits, jnp.int32(anc), jnp.int32(len(ts)),
+    buf, nout = walker(tb_packed, jnp.int32(anc), jnp.int32(len(ts)),
                        jnp.int32(len(qs)), tw, qw, jnp.int32(s_final),
                        jnp.int32(last_state))
     n = int(nout)

@@ -10,7 +10,7 @@ all DP state VMEM-resident, so a cycle costs microseconds instead of
 milliseconds.
 
 Architecture (one grid step == one alignment lane; measured primitive
-costs in tools/microbench_mosaic*.py):
+costs in tools/microbench_mosaic*.py, tools/microbench_chunk.py):
 
 * **Band window**: the diagonal band lives in a fixed lane-major window of
   ``W = WR*128`` diagonals: window slot w == diagonal ``anc + w``, laid out
@@ -18,39 +18,51 @@ costs in tools/microbench_mosaic*.py):
   host (midpoint of start diagonal 0 and end diagonal ql-tl) and never
   moves; a band outgrowing the window sets an overflow flag and the host
   retries in a larger-W bucket (models/exact.py escalation ladder).
-  d±1 neighbour reads of the recurrence are flat shifts (0.15us).
+  d±1 neighbour reads of the recurrence are flat shifts.
 
-* **Rings in VMEM scratch**: per-state history rings ``[depth, WR, 128]``
-  indexed with dynamic leading-dim reads/writes (0.35us) — the TPU
-  equivalent of the reference stripe ring (miniwfa.c:67-137).  Depths are
+* **Band-proportional cycles**: every per-cycle phase (extension,
+  retire, transition, traceback emit) sweeps only the CR-row *chunks*
+  intersecting the LIVE band [lo, hi] — a ``lax.fori_loop`` with traced
+  bounds over dynamically-offset sublane slices — so a cycle costs
+  O(band), not O(W), exactly like the reference loop whose work is
+  Σ band widths (miniwfa.c:397-426).  Cross-chunk d±1 neighbour values
+  flow through [1,128] loop carries (m-side) and an 8-row overread
+  (p-side; rings are padded to WR+8 rows).  Because rows outside a sweep
+  keep stale data, every ring read is masked by the *recorded band* of
+  the score it targets (``bnd_lo/bnd_hi`` SMEM registry, the analog of
+  the reference's per-slice [lo,hi], miniwfa.c:67-137), and the
+  shrink-viability bit-plane ``vb`` carries a per-cell last-update cycle
+  ``lastt`` so re-entering rows age out their stale bits.
+
+* **Rings in VMEM scratch**: per-state history rings ``[depth, WR+8,
+  128]`` indexed with dynamic leading-dim reads/writes.  Depths are
   per-state maxima of the recurrence ages (H: max(x,o1+e1,o2+e2); E/F:
-  e1/e2), not the uniform max_pen+1 of the C.  Band-shrink viability is
-  captured per retired slice in a separate ``vb`` ring so the periodic
-  shrink (miniwfa.c:144-171) still scans the information of all
-  max_pen+1 slices x 5 states without storing them.
+  e1/e2), not the uniform max_pen+1 of the C.
 
 * **Match extension** (reference wf_extend1_padded, miniwfa.c:212-226):
   each band ROW (128 diagonals) owns a 2-block aligned window of 256
   packed words (4096 chars at cpw=16) of each sequence, held in VMEM.
-  A probe is ONE same-shape lane-shuffle gather per window block
-  (~0.1us, gather dim = 128 lanes = 1 vreg — the Mosaic constraint) +
+  A probe is ONE same-shape lane-shuffle gather per window block +
   per-lane variable shifts; first mismatch via popcount-ctz.  All
-  eligible diagonals probe simultaneously; rows whose probes leave their
-  window trigger a vectorized refill: per-row block ids are gathered
-  from a transposed word table ``twT[128, NWR<=128]`` with a
-  broadcast-index gather and transposed back (~5us, gated on need).
-  No top_k, no scatter, no compaction — the full-band gather makes probe
-  count free.
+  eligible diagonals of the live chunk probe simultaneously; rows whose
+  probes leave their window trigger a vectorized refill over segmented
+  HBM word tables (one resident [128,128] segment per side in VMEM,
+  rotated by a globally-elected needy row).
 
-* **Traceback rows** stream to HBM: the 7-bit tb byte plane of each cycle
-  (README.md:47-48) is DMA'd ``[WR,128]`` VMEM->HBM at dynamic row t
-  (0.24us), then converted to the walker's ``[S, W] uint8`` layout by an
-  XLA epilogue outside the kernel.
+* **Traceback rows** stream to HBM packed 4 rows/word: the 7-bit tb
+  byte plane of each cycle (README.md:47-48) is folded 4 sublane rows
+  into one int32 row ([CR,128] -> [CR/4,128]) and DMA'd per chunk into
+  a ``[B, S_CAP, WR/4, 128] int32`` buffer (1 byte/cell, the
+  reference's tb density, README.md:52-53) through an 8-slot ring of
+  DMA buffers with deferred waits.  At 1 byte/cell a 5 Mb low-mem
+  pass-2 (s≈270k, W=16384) fits in HBM whole, so the two-pass stripe
+  mode needs no host streaming.
 
 Limits of this engine (host falls back to ops/wavefront.py otherwise):
-WR in [8, 128] (W in [1024, 16384]), sequence length <= (128*128-2)*cpw
-(~262 kb at cpw=16), modes SCORE and TB (low-mem pass 1 uses the lax
-engine until ported).
+WR in [8, 512] (W in [1024, 65536]; low-mem pass 1 up to 32768 — its sf
+shadow rings double the VMEM), sequence length bounded by the segmented
+word tables (nseg<=64: ~16 Mb at cpw=16), modes SCORE, TB and PASS1,
+max_pen+1 <= 31 (bit-packed viability plane).
 """
 
 from __future__ import annotations
@@ -72,6 +84,7 @@ MODE_PASS1 = 2
 NTAB = 128        # word-table rows/cols: one segment = 128*128 packed words
 SEGSTRIDE = 127   # segments overlap by one 128-word block so a row's
                   # 2-block window never straddles a segment boundary
+NSLOT = 8         # tb DMA buffer slots (deferred waits)
 import os as _os
 MAXR_SAFETY = int(_os.environ.get("MWF_MAXR_SAFETY", 1 << 20))
 # extension-round hard bound; refill progress makes this unreachable in
@@ -109,6 +122,7 @@ class KSpec:
     n_snap: int = 0  # snapshot row capacity (pass 1)
     nseg: int = 1    # word-table segments (each 128*128 words); the
                      # resident segment lives in VMEM, others in HBM
+    cr: int = 8      # sweep chunk rows (multiple of 4, divides WR)
 
     @property
     def W(self) -> int:
@@ -117,6 +131,13 @@ class KSpec:
     @property
     def NS(self) -> int:  # shrink scan depth = max_pen + 1 (miniwfa.c:390)
         return max(self.x, self.o1 + self.e1, self.o2 + self.e2) + 1
+
+    @property
+    def CR(self) -> int:
+        c = self.cr
+        if c > self.WR or self.WR % c or c % 4:
+            c = 8
+        return min(c, 64)
 
     @property
     def max_len(self) -> int:
@@ -131,9 +152,9 @@ def _ages(spec: KSpec):
 
 def snapshot_layout(spec: KSpec):
     """Plane offsets of the serialized sf rings in a snapshot row
-    [NP, WR, 128]: [H ring | E1 ring | F1 ring | E2 ring | F2 ring].
-    A flat pointer is ``plane*W + w``; the host decoder
-    (models/traceback.decode_checkpoints_kernel) inverts this."""
+    [NP, WR+8, 128]: [H ring | E1 ring | F1 ring | E2 ring | F2 ring].
+    A flat pointer is ``plane*WP + w`` with WP = (WR+8)*128; the host
+    decoder (models/traceback.decode_checkpoints_kernel) inverts this."""
     ages = _ages(spec)
     DH = max(ages["x"], ages["o1"], ages["o2"])
     DE1 = max(ages["e1"], 1)
@@ -148,8 +169,14 @@ def snapshot_layout(spec: KSpec):
 
 def build_kernel(spec: KSpec):
     """Build the pallas_call wrapper.  Returns fn(scal, twt, twq) ->
-    (out_scal [B, O_N], tb [B, S_CAP, WR, 128] int32 if TB mode)."""
+    (out_scal [B, O_N], tb [B, S_CAP, WR//4, 128] int32 if TB mode)."""
     WR, W = spec.WR, spec.W
+    WRP = WR + 8            # rings padded so CR+8 block loads never OOB
+    WP = WRP * 128          # flat-pointer stride of snapshot planes
+    CR = spec.CR
+    CRB = CR + 8
+    CR4 = CR // 4
+    WR4 = WR // 4
     CPW = spec.cpw
     BITS = 32 // CPW              # bits per char
     LOGC = {16: 4, 4: 2}[CPW]     # log2 chars/word
@@ -167,36 +194,10 @@ def build_kernel(spec: KSpec):
     # snapshot plane layout: the serialized sf rings ARE the reachable set
     # (scores >= t+1-age for each state kind) — see snapshot_layout()
     P_H, P_E1, P_F1, P_E2, P_F2, NP = snapshot_layout(spec)
+    NSEGB = (spec.nseg - 1) * SEGSTRIDE + NTAB  # global block count
 
-    # [WR,128] index planes (constants)
-    def iota_r():
-        return lax.broadcasted_iota(jnp.int32, (WR, 128), 0)
-
-    def iota_l():
-        return lax.broadcasted_iota(jnp.int32, (WR, 128), 1)
-
-    def sh_m1(a):
-        """Value at flat window slot w-1 (diagonal d-1); edge reads NEG."""
-        left = jnp.concatenate(
-            [jnp.full((WR, 1), NEG, a.dtype), a[:, :-1]], 1)
-        carry = jnp.concatenate(
-            [jnp.full((1, 128), NEG, a.dtype), a[:-1, :]], 0)[:, 127:128]
-        return jnp.where(iota_l() == 0, carry, left)
-
-    def sh_p1(a):
-        right = jnp.concatenate(
-            [a[:, 1:], jnp.full((WR, 1), NEG, a.dtype)], 1)
-        carry = jnp.concatenate(
-            [a[1:, :], jnp.full((1, 128), NEG, a.dtype)], 0)[:, 0:1]
-        return jnp.where(iota_l() == 127, carry, right)
-
-    def gat(tab, idx):
-        """Same-shape lane gather in <=64-row chunks (Mosaic fast path)."""
-        outs = []
-        for r0 in range(0, WR, 64):
-            r1 = min(r0 + 64, WR)
-            outs.append(jnp.take_along_axis(tab[r0:r1], idx[r0:r1], axis=1))
-        return jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
+    def iota2(n, axis):
+        return lax.broadcasted_iota(jnp.int32, (n, 128), axis)
 
     def ctz_chars(x):
         """First mismatching char index of a packed XOR word (x != 0)."""
@@ -204,6 +205,22 @@ def build_kernel(spec: KSpec):
         ctz = lax.population_count(
             jnp.bitwise_and(~u, u - jnp.uint32(1)).astype(jnp.int32))
         return jnp.right_shift(ctz, LOGB)
+
+    def shm(a, prev):
+        """Value at flat window slot w-1 (diagonal d-1) for a [CR,128]
+        chunk; ``prev`` is the previous row ([1,128], the m-side carry
+        from the preceding chunk, NEG-masked)."""
+        left = jnp.concatenate(
+            [jnp.full((CR, 1), NEG, a.dtype), a[:, :-1]], 1)
+        carry = jnp.concatenate([prev, a[:-1, :]], 0)[:, 127:128]
+        return jnp.where(iota2(CR, 1) == 0, carry, left)
+
+    def shp(a, nxt):
+        """Slot w+1; ``nxt`` is the following row (p-side overread)."""
+        right = jnp.concatenate(
+            [a[:, 1:], jnp.full((CR, 1), NEG, a.dtype)], 1)
+        carry = jnp.concatenate([a[1:, :], nxt], 0)[:, 0:1]
+        return jnp.where(iota2(CR, 1) == 127, carry, right)
 
     def transition_values(src):
         """5-state dual-affine recurrence + 7-bit tb byte with the exact
@@ -230,7 +247,7 @@ def build_kernel(spec: KSpec):
         return H, e1, f1, e2, f2, bits
 
     def kernel(scal_ref,            # SMEM [B, nsc] (scalar prefetch)
-               twt_ref, twq_ref,    # VMEM [1, 128, 128] per-lane word tables
+               twt_ref, twq_ref,    # HBM [B, nseg, 128, 128] word tables
                out_ref,             # SMEM [B, O_N]
                *refs):
         if is_tb:
@@ -239,14 +256,14 @@ def build_kernel(spec: KSpec):
         if is_p1:
             snap_ref = refs[0]
             refs = refs[1:]
-        (rH, rE1, rF1, rE2, rF2, vb,
+        (rH, rE1, rF1, rE2, rF2, vb, lastt,
          tH, tE1, tF1, tE2, tF2,
          wta, wtb, wqa, wqb, baT, baQ,
-         pbits, tbrow, sem,
-         twtv, twqv, cs, sem2, wtmp) = refs[:25]
+         pbits, tbrow, sem_tb, dm,
+         twtv, twqv, cs, sem2, wtmp, bnd_lo, bnd_hi) = refs[:29]
         if is_p1:
             (sH, sE1, sF1, sE2, sF2,
-             tHs, tE1s, tF1s, tE2s, tF2s, bnd_lo, bnd_hi) = refs[25:]
+             tHs, tE1s, tF1s, tE2s, tF2s, sem_sn) = refs[29:]
 
         b = pl.program_id(0)
         tl = scal_ref[b, SC_TL]
@@ -254,23 +271,29 @@ def build_kernel(spec: KSpec):
         anc = scal_ref[b, SC_ANC]
         n_seg = scal_ref[b, SC_NSEG]
         d_end = ql - tl
-        DD = anc + iota_r() * 128 + iota_l()      # diagonal per window slot
+        DDP = anc + iota2(WRP, 0) * 128 + iota2(WRP, 1)  # full-pad diag map
 
         # ---- init (scratch persists across grid steps: reset everything)
         for ring, depth in ((rH, DH), (rE1, DE1), (rF1, DE1),
                             (rE2, DE2), (rF2, DE2)):
             for j in range(depth):
-                ring[j] = jnp.full((WR, 128), NEG, jnp.int32)
-        vb[:] = jnp.zeros((WR, 128), jnp.int32)
+                ring[j] = jnp.full((WRP, 128), NEG, jnp.int32)
+        vb[:] = jnp.zeros((WRP, 128), jnp.int32)
+        lastt[:] = jnp.zeros((WRP, 128), jnp.int32)
         # score-0 top: H[d=0] = -1 (miniwfa.c:119)
-        tH[:] = jnp.where(DD == 0, -1, NEG)
+        tH[:] = jnp.where(DDP == 0, -1, NEG)
         for r in (tE1, tF1, tE2, tF2):
-            r[:] = jnp.full((WR, 128), NEG, jnp.int32)
+            r[:] = jnp.full((WRP, 128), NEG, jnp.int32)
         for r in (wta, wtb, wqa, wqb):
             r[:] = jnp.zeros(r.shape, jnp.int32)
         baT[:] = jnp.full((WR, 128), BIG, jnp.int32)  # all-miss
         baQ[:] = jnp.full((WR, 128), BIG, jnp.int32)
         pbits[:] = jnp.zeros((WR, 128), jnp.int32)
+        for j in range(DH):
+            bnd_lo[j] = 1   # empty band until really recorded
+            bnd_hi[j] = 0
+        dm[0] = 0           # tb DMA slot counter
+        dm[1] = 0           # tb DMA pending bitmask (prev lane drained)
         # resident word-table segment per side: start at segment 0
         cp0 = pltpu.make_async_copy(twt_ref.at[b, 0], twtv, sem2)
         cp0.start()
@@ -284,54 +307,50 @@ def build_kernel(spec: KSpec):
             for ring, depth in ((sH, DH), (sE1, DE1), (sF1, DE1),
                                 (sE2, DE2), (sF2, DE2)):
                 for j in range(depth):
-                    ring[j] = jnp.full((WR, 128), NEG, jnp.int32)
+                    ring[j] = jnp.full((WRP, 128), NEG, jnp.int32)
             # origin pointer -1 at d=0 (reference miniwfa.c:119 / lax init)
-            tHs[:] = jnp.where(DD == 0, -1, NEG)
+            tHs[:] = jnp.where(DDP == 0, -1, NEG)
             for r in (tE1s, tF1s, tE2s, tF2s):
-                r[:] = jnp.full((WR, 128), NEG, jnp.int32)
-            for j in range(DH):
-                bnd_lo[j] = 1   # empty band until really written
-                bnd_hi[j] = 0
+                r[:] = jnp.full((WRP, 128), NEG, jnp.int32)
 
-
-        NSEGB = (spec.nseg - 1) * SEGSTRIDE + NTAB  # global block count
-
-        def refill(needy, jT, jQ):
-            """Re-window rows with out-of-window probes.  Per needy row ONE
-            element is elected (smallest target word, then smallest query
-            word among ties) and BOTH windows re-center on it — re-centering
-            the two sides on different elements can ping-pong forever when a
-            row's live probes span more than a window (the cross-side
-            livelock).  The elected element is guaranteed covered, so every
-            refill makes progress.
+        def refill(ro, needy, jT, jQ):
+            """Re-window chunk rows with out-of-window probes.  Per needy
+            row ONE element is elected (smallest target word, then
+            smallest query word among ties) and BOTH windows re-center on
+            it — re-centering the two sides on different elements can
+            ping-pong forever when a row's live probes span more than a
+            window (the cross-side livelock).  The elected element is
+            guaranteed covered, so every refill makes progress.
 
             Long sequences: the word table lives in HBM as overlapping
             segments (stride 127 of 128 blocks, so a row's 2-block window
-            never straddles a segment); one segment per side is resident in
-            VMEM.  When the globally smallest needy row's block lies in
-            another segment, that segment is DMA'd in (so that row refills
-            next round — progress); rows whose blocks are NOT resident get
-            their windows invalidated (base=BIG) instead of garbage."""
-            has = jnp.any(needy, axis=1, keepdims=True)           # [WR,1]
+            never straddles a segment); one segment per side is resident
+            in VMEM.  When the elected row's block lies in another
+            segment, that segment is DMA'd in (so that row refills next
+            round — progress); rows whose blocks are NOT resident keep
+            their current windows and wait for the segment to rotate."""
+            has = jnp.any(needy, axis=1, keepdims=True)           # [CR,1]
             jTn = jnp.where(needy, jT, BIG)
             jminT = jnp.min(jTn, axis=1, keepdims=True)
             elect = needy & (jTn == jminT)
             jminQ = jnp.min(jnp.where(elect, jQ, BIG), axis=1,
                             keepdims=True)
+            baTc = baT[pl.ds(ro, CR)]
+            baQc = baQ[pl.ds(ro, CR)]
 
-            def pick(base, jmin):
+            def pick(basec, jmin):
                 a_new = jnp.clip(jmin >> 7, 0, NSEGB - 1)
-                a_cur = jnp.clip(base[:, 0:1] >> 7, 0, NSEGB - 1)
-                return jnp.where(has, a_new, a_cur)               # [WR,1]
+                a_cur = jnp.clip(basec[:, 0:1] >> 7, 0, NSEGB - 1)
+                return jnp.where(has, a_new, a_cur)               # [CR,1]
 
-            aT = pick(baT, jminT)
-            aQ = pick(baQ, jminQ)
+            aT = pick(baTc, jminT)
+            aQ = pick(baQc, jminQ)
             if spec.nseg > 1:
-                # BOTH resident segments follow the same globally-elected
-                # row (smallest target block among needy rows, then its
-                # query block) — independent per-side choices can chase
-                # different rows and deadlock, the cross-side livelock at
-                # segment granularity
+                # BOTH resident segments follow the same elected row
+                # (smallest target block among needy rows, then its query
+                # block) — independent per-side choices can chase
+                # different rows and deadlock (the cross-side livelock at
+                # segment granularity)
                 any_has = jnp.any(has)
                 gT = jnp.min(jnp.where(has, aT, NSEGB))
                 sel_rows = has & (aT == gT)
@@ -360,87 +379,67 @@ def build_kernel(spec: KSpec):
                 cst = csq = 0
             resT = (jnp.clip(aT // SEGSTRIDE, 0, spec.nseg - 1) == cst)
             resQ = (jnp.clip(aQ // SEGSTRIDE, 0, spec.nseg - 1) == csq)
-            # only rows whose elected blocks are resident are (re)windowed;
-            # others keep their current (still valid) windows and wait for
-            # the resident segment to rotate to them — rewriting them with
-            # non-resident garbage would invalidate half the band on every
-            # segment switch (a refill storm when the band straddles a
-            # segment boundary)
             mf = has & resT & resQ  # both windows re-center together
-            baT[:] = jnp.broadcast_to(jnp.where(mf, aT * 128, baT[:, 0:1]),
-                                      (WR, 128))
-            baQ[:] = jnp.broadcast_to(jnp.where(mf, aQ * 128, baQ[:, 0:1]),
-                                      (WR, 128))
-            mpad = jnp.broadcast_to(mf, (WR, 128))
+            baT[pl.ds(ro, CR)] = jnp.broadcast_to(
+                jnp.where(mf, aT * 128, baTc[:, 0:1]), (CR, 128))
+            baQ[pl.ds(ro, CR)] = jnp.broadcast_to(
+                jnp.where(mf, aQ * 128, baQc[:, 0:1]), (CR, 128))
+            mrow = jnp.broadcast_to(mf, (CR, 128))
             aTloc = jnp.clip(aT - cst * SEGSTRIDE, 0, NTAB - 1)
             aQloc = jnp.clip(aQ - csq * SEGSTRIDE, 0, NTAB - 1)
             twt = twtv[:]
             twq = twqv[:]
-            # band rows are re-windowed in 128-row blocks (the gather dim
-            # is capped at one vreg = 128 lanes): [<=128,1] slice of the
-            # per-row block ids -> lane vector -> broadcast rows.
-            for blk in range((WR + NTAB - 1) // NTAB):
-                r0 = blk * NTAB
-                r1 = min(r0 + NTAB, WR)
-                pad = NTAB - (r1 - r0)
 
-                def lanes(a):
-                    a = a[r0:r1]
-                    if pad:
-                        a = jnp.concatenate(
-                            [a, jnp.zeros((pad, 1), jnp.int32)], 0)
-                    return a
+            def lanes(a):   # [CR,1] block ids -> [NTAB,1] padded
+                return jnp.concatenate(
+                    [a, jnp.zeros((NTAB - CR, 1), jnp.int32)], 0)
 
-                mrow = mpad[r0:r1]
-                if pad:
-                    mrow = jnp.concatenate(
-                        [mrow, jnp.zeros((pad, 128), bool)], 0)
-                aTl, aQl = lanes(aTloc), lanes(aQloc)
-                # NOTE: arithmetic on these broadcast transposes crashes
-                # the TPU compiler ("limits <= dim" abort) — the +1 for
-                # the second window block is applied to the narrow vector
-                # BEFORE the transpose+broadcast.
-                idxT = jnp.broadcast_to(aTl.T, (NTAB, NTAB))
-                idxQ = jnp.broadcast_to(aQl.T, (NTAB, NTAB))
-                idxT1 = jnp.broadcast_to(
-                    jnp.minimum(aTl + 1, NTAB - 1).T, (NTAB, NTAB))
-                idxQ1 = jnp.broadcast_to(
-                    jnp.minimum(aQl + 1, NTAB - 1).T, (NTAB, NTAB))
+            # NOTE: arithmetic on broadcast transposes crashes the TPU
+            # compiler ("limits <= dim" abort) — the +1 for the second
+            # window block is applied to the narrow vector BEFORE the
+            # transpose+broadcast.
+            aTl, aQl = lanes(aTloc), lanes(aQloc)
+            idxT = jnp.broadcast_to(aTl.T, (NTAB, NTAB))
+            idxQ = jnp.broadcast_to(aQl.T, (NTAB, NTAB))
+            idxT1 = jnp.broadcast_to(
+                jnp.minimum(aTl + 1, NTAB - 1).T, (NTAB, NTAB))
+            idxQ1 = jnp.broadcast_to(
+                jnp.minimum(aQl + 1, NTAB - 1).T, (NTAB, NTAB))
 
-                def fill(win_ref, tw, idx):
-                    g0 = jnp.take_along_axis(tw[0:64], idx[0:64], axis=1)
-                    g1 = jnp.take_along_axis(tw[64:128], idx[64:128], axis=1)
-                    # a masked store of a transpose result aborts the TPU
-                    # compiler: write the transpose to a temp, then do a
-                    # plain masked select of two scratch values
-                    wtmp[:] = jnp.concatenate([g0, g1], 0).T
-                    win_ref[r0:r0 + NTAB] = jnp.where(
-                        mrow, wtmp[:], win_ref[r0:r0 + NTAB])
+            def fill(win_ref, tw, idx):
+                g0 = jnp.take_along_axis(tw[0:64], idx[0:64], axis=1)
+                g1 = jnp.take_along_axis(tw[64:128], idx[64:128], axis=1)
+                # a masked store of a transpose result aborts the TPU
+                # compiler: write the transpose to a temp, then do a
+                # plain masked select of two scratch values
+                wtmp[:] = jnp.concatenate([g0, g1], 0).T
+                win_ref[pl.ds(ro, CR)] = jnp.where(
+                    mrow, wtmp[0:CR], win_ref[pl.ds(ro, CR)])
 
-                fill(wta, twt, idxT)
-                fill(wtb, twt, idxT1)
-                fill(wqa, twq, idxQ)
-                fill(wqb, twq, idxQ1)
+            fill(wta, twt, idxT)
+            fill(wtb, twt, idxT1)
+            fill(wqa, twq, idxQ)
+            fill(wqb, twq, idxQ1)
 
-        def probe_side(win_a, win_b, base, pos):
+        def probe_side(ro, win_a, win_b, base, pos):
             """16/4-char probe word at char ``pos`` from the row window.
             Returns (chars, n_valid, in_window, word_idx)."""
             j = jnp.right_shift(pos, LOGC)
-            c = j - base[:]
+            c = j - base[pl.ds(ro, CR)]
             in_win = (c >= 0) & (c < 2 * NTAB)
             cc = jnp.clip(c, 0, 2 * NTAB - 1)
             ca = jnp.minimum(cc, NTAB - 1)
             cb = jnp.clip(cc - NTAB, 0, NTAB - 1)
-            ga = gat(win_a[0:WR], ca)
-            gb = gat(win_b[0:WR], cb)
+            ga = jnp.take_along_axis(win_a[pl.ds(ro, CR)], ca, axis=1)
+            gb = jnp.take_along_axis(win_b[pl.ds(ro, CR)], cb, axis=1)
             w0 = jnp.where(cc < NTAB, ga, gb)
             off = jnp.bitwise_and(pos, CPW - 1)
             chars = jnp.right_shift(w0.astype(jnp.uint32),
                                     (off * BITS).astype(jnp.uint32))
             return chars, CPW - off, in_win, j
 
-        def extend(k, elig):
-            """Full-band LCP extension; returns advanced k.  Mirrors the
+        def extend(ro, DDc, k, elig):
+            """Chunk LCP extension; returns advanced k.  Mirrors the
             per-diagonal semantics of miniwfa.c:212-226 with the advance
             capped at the matrix edge (no sentinels)."""
             def cond(c):
@@ -450,9 +449,9 @@ def build_kernel(spec: KSpec):
                 k, un_i, rnd = c
                 un = un_i != 0   # i1 vectors can't be loop carries (Mosaic)
                 pos_t = k + 1
-                pos_q = DD + k + 1
-                cht, nvt, inwt, jT = probe_side(wta, wtb, baT, pos_t)
-                chq, nvq, inwq, jQ = probe_side(wqa, wqb, baQ, pos_q)
+                pos_q = DDc + k + 1
+                cht, nvt, inwt, jT = probe_side(ro, wta, wtb, baT, pos_t)
+                chq, nvq, inwq, jQ = probe_side(ro, wqa, wqb, baQ, pos_q)
                 inw = inwt & inwq
                 nv = jnp.minimum(nvt, nvq)
                 x = jnp.bitwise_xor(cht, chq).astype(jnp.int32)
@@ -462,7 +461,7 @@ def build_kernel(spec: KSpec):
                                  jnp.left_shift(jnp.uint32(0xFFFFFFFF), shv))
                 xf = x | tail.astype(jnp.int32)
                 run = jnp.where(xf == 0, nv, ctz_chars(xf))
-                cap = jnp.minimum(tl - 1 - k, ql - 1 - (DD + k))
+                cap = jnp.minimum(tl - 1 - k, ql - 1 - (DDc + k))
                 cap = jnp.maximum(cap, 0)
                 adv = jnp.minimum(run, cap)
                 act = un & inw
@@ -473,10 +472,11 @@ def build_kernel(spec: KSpec):
                 # elected element's windows cover where it will probe next
                 needy = un & ~inw
                 jT2 = jnp.right_shift(k + 1, LOGC)
-                jQ2 = jnp.right_shift(DD + k + 1, LOGC)
+                jQ2 = jnp.right_shift(DDc + k + 1, LOGC)
+
                 @pl.when(jnp.any(needy))
                 def _():
-                    refill(needy, jT2, jQ2)
+                    refill(ro, needy, jT2, jQ2)
                 return k, un.astype(jnp.int32), rnd + 1
 
             k, un_i, rnd = lax.while_loop(
@@ -484,45 +484,65 @@ def build_kernel(spec: KSpec):
             stuck = rnd >= MAXR_SAFETY
             return k, stuck
 
-        def rd(ring, depth, top_ref, t, age):
-            """Source slice at score t+1-age: the top registers when age==1,
-            else the ring (slot = score mod depth; jnp.mod is non-negative,
-            so virtual negative scores read still-initial NEG slots that are
-            overwritten only after their last possible read)."""
-            if age == 1:
-                return top_ref[:]
-            return ring[(t + 1 - age) % depth]
-
-        def good_diag(v):
+        def good_diag(v, DDc):
             """k in [-1, tl) and d+k in [-1, ql) (miniwfa.c:139-171)."""
-            return (v >= -1) & (v < tl) & (DD + v >= -1) & (DD + v < ql)
+            return (v >= -1) & (v < tl) & (DDc + v >= -1) & (DDc + v < ql)
+
+        def chunk_range(d0, d1, empty):
+            """fori bounds of the CR-chunks covering diagonals [d0, d1]."""
+            c0 = jnp.clip((d0 - anc) >> 7, 0, WR - 1) // CR
+            c1 = jnp.clip((d1 - anc) >> 7, 0, WR - 1) // CR + 1
+            return c0, jnp.where(empty, c0, c1)
 
         def cycle(carry):
             (t, wf_lo, wf_hi, t_lo, t_hi, done_i, stopped_i, ovf_i,
              final_s, last_state, n_lo, n_hi, sid, lp, snc) = carry
             done, stopped, ovf = done_i != 0, stopped_i != 0, ovf_i != 0
+            # record score-t band for masked ring reads in later cycles
+            bnd_lo[t % DH] = t_lo
+            bnd_hi[t % DH] = t_hi
 
-            # --- 1. extension over the top slice band (miniwfa.c:400-411)
-            k_old = tH[:]
-            in_top = (DD >= t_lo) & (DD <= t_hi)
-            elig = in_top & (k_old >= -1) & (DD + k_old >= -1) \
-                & (k_old < tl) & (DD + k_old < ql)
-            k_new, ext_stuck = extend(k_old, elig)
-            k_new = jnp.where(elig, k_new, k_old)
-            tH[:] = k_new
-            ovf = ovf | ext_stuck  # never in correct operation
+            # --- 1. extension sweep over the top-band chunks
+            # (miniwfa.c:400-411) + termination reductions (405-408)
+            e0, e1_ = chunk_range(t_lo, t_hi, False)
 
-            # --- 2. termination (miniwfa.c:405-408)
-            at_end = elig & (DD == d_end)
-            term = jnp.any(at_end & (k_new == tl - 1))
-            zero_ext = term & (t > 0) & jnp.any(
-                at_end & (k_new == k_old) & (k_new == tl - 1))
+            def ext_chunk(ci, car):
+                term_a, zero_a, bits_a, ptr_a, stuck_a = car
+                ro = ci * CR
+                DDc = anc + ro * 128 + iota2(CR, 0) * 128 + iota2(CR, 1)
+                k_old = tH[pl.ds(ro, CR)]
+                in_top = (DDc >= t_lo) & (DDc <= t_hi)
+                elig = in_top & (k_old >= -1) & (DDc + k_old >= -1) \
+                    & (k_old < tl) & (DDc + k_old < ql)
+                k_new, stuck = extend(ro, DDc, k_old, elig)
+                k_new = jnp.where(elig, k_new, k_old)
+                tH[pl.ds(ro, CR)] = k_new
+                at_end = elig & (DDc == d_end)
+                term_c = jnp.any(at_end & (k_new == tl - 1))
+                zero_c = jnp.any(at_end & (k_new == k_old)
+                                 & (k_new == tl - 1))
+                if is_tb:
+                    bits_a = jnp.maximum(bits_a, jnp.max(
+                        jnp.where(DDc == d_end, pbits[pl.ds(ro, CR)], 0)))
+                if is_p1:
+                    ptr_a = jnp.maximum(ptr_a, jnp.max(
+                        jnp.where(at_end, tHs[pl.ds(ro, CR)], NEG)))
+                return (term_a | term_c.astype(jnp.int32),
+                        zero_a | zero_c.astype(jnp.int32),
+                        bits_a, ptr_a,
+                        stuck_a | stuck.astype(jnp.int32))
+
+            z32 = jnp.int32(0)
+            term_i, zero_i, bits_at, ptr, stuck_i = lax.fori_loop(
+                e0, e1_, ext_chunk, (z32, z32, z32, jnp.int32(NEG), z32))
+            term = term_i != 0
+            ovf = ovf | (stuck_i != 0)  # never in correct operation
+
+            # --- 2. termination bookkeeping (miniwfa.c:405-408, 577)
+            zero_ext = term & (t > 0) & (zero_i != 0)
             if is_tb:
-                bits_at = jnp.max(jnp.where(DD == d_end, pbits[:], 0))
                 last_state = jnp.where(zero_ext, bits_at & 7, last_state)
             if is_p1:
-                # terminal provenance pointer (reference miniwfa.c:577)
-                ptr = jnp.max(jnp.where(at_end, tHs[:], NEG))
                 lp = jnp.where(term, ptr, lp)
             done = done | term
             final_s = jnp.where(term, t, final_s)
@@ -545,7 +565,7 @@ def build_kernel(spec: KSpec):
             ovf = ovf | ovf_now
             act = ~term & ~ovf_now
 
-            # --- 5b. low-mem snapshot bookkeeping (miniwfa.c:585-586):
+            # --- 4b. low-mem snapshot bookkeeping (miniwfa.c:585-586):
             # due when score t+1 is a multiple of step, after retiring t
             if is_p1:
                 snap_due = act & (jnp.mod(t + 1, spec.step) == 0)
@@ -555,133 +575,238 @@ def build_kernel(spec: KSpec):
                 ovf = ovf | (snap_due & ~snap_ok)
                 act = act & ~(snap_due & ~snap_ok)
 
-            @pl.when(act)
-            def _():
-                # --- 5. retire tops into the rings at slot t mod depth;
-                # record slice viability for the shrink scan
-                slot = lambda d: t % d  # noqa: E731
-                rH[slot(DH)] = tH[:]
-                rE1[slot(DE1)] = tE1[:]
-                rF1[slot(DE1)] = tF1[:]
-                rE2[slot(DE2)] = tE2[:]
-                rF2[slot(DE2)] = tF2[:]
-                viab = jnp.zeros((WR, 128), bool)
-                for r in (tH, tE1, tF1, tE2, tF2):
-                    viab |= good_diag(r[:])
-                # bit-packed slice viability: bit j = slice of score t-j
-                # (kept NS deep; requires NS <= 31, enforced by the host)
-                vb[:] = ((vb[:] << 1) | (viab & in_top).astype(jnp.int32)) \
-                    & ((1 << NS) - 1)
-                if is_p1:
-                    sH[slot(DH)] = tHs[:]
-                    sE1[slot(DE1)] = tE1s[:]
-                    sF1[slot(DE1)] = tF1s[:]
-                    sE2[slot(DE2)] = tE2s[:]
-                    sF2[slot(DE2)] = tF2s[:]
-                    bnd_lo[slot(DH)] = t_lo
-                    bnd_hi[slot(DH)] = t_hi
+            # --- 5+6. retire + transition sweep over the grown band
+            # chunks (wf_next_prep/tb, miniwfa.c:243-327).  Sweep range
+            # covers BOTH the old top band (retire) and the new band
+            # (transition); retire is masked by in_top, transition by
+            # in_new.  Ring reads are masked by the recorded band of the
+            # score they target, so stale rows read as NEG (the C's
+            # padded out-of-band reads).
+            u_lo = jnp.minimum(t_lo, lo)
+            u_hi = jnp.maximum(t_hi, hi)
+            s0c, s1c = chunk_range(u_lo, u_hi, ~act)
 
-            if is_p1:
+            def lb(ring, depth, top_ref, age, ro):
+                """[CRB,128] masked source block at score t+1-age."""
+                s_src = t + 1 - age
+                if age == 1:
+                    blk = top_ref[pl.ds(ro, CRB)]
+                    blo, bhi = t_lo, t_hi
+                else:
+                    blk = ring[jnp.mod(s_src, depth), pl.ds(ro, CRB)]
+                    blo = bnd_lo[jnp.mod(s_src, DH)]
+                    bhi = bnd_hi[jnp.mod(s_src, DH)]
+                DDb = anc + ro * 128 + iota2(CRB, 0) * 128 + iota2(CRB, 1)
+                return jnp.where((DDb >= blo) & (DDb <= bhi), blk, NEG)
+
+            def make_sweep(do_retire, do_trans):
+                def sweep(ci, car):
+                    (loq, hiq, cho1, cho2, ce1x, ce2x,
+                     csh1, csh2, cse1, cse2) = car
+                    ro = ci * CR
+                    DDc = anc + ro * 128 + iota2(CR, 0) * 128 + iota2(CR, 1)
+                    in_top = (DDc >= t_lo) & (DDc <= t_hi)
+                    if do_retire:
+                        # retire tops into rings at slot t mod depth;
+                        # record slice viability for the shrink scan
+                        tHc = tH[pl.ds(ro, CR)]
+                        tE1c = tE1[pl.ds(ro, CR)]
+                        tF1c = tF1[pl.ds(ro, CR)]
+                        tE2c = tE2[pl.ds(ro, CR)]
+                        tF2c = tF2[pl.ds(ro, CR)]
+                        rH[t % DH, pl.ds(ro, CR)] = \
+                            jnp.where(in_top, tHc, NEG)
+                        rE1[t % DE1, pl.ds(ro, CR)] = \
+                            jnp.where(in_top, tE1c, NEG)
+                        rF1[t % DE1, pl.ds(ro, CR)] = \
+                            jnp.where(in_top, tF1c, NEG)
+                        rE2[t % DE2, pl.ds(ro, CR)] = \
+                            jnp.where(in_top, tE2c, NEG)
+                        rF2[t % DE2, pl.ds(ro, CR)] = \
+                            jnp.where(in_top, tF2c, NEG)
+                        viab = jnp.zeros((CR, 128), bool)
+                        for v in (tHc, tE1c, tF1c, tE2c, tF2c):
+                            viab |= good_diag(v, DDc)
+                        # bit-packed slice viability (bit j = score t-j),
+                        # shifted by the cycles since this row was last
+                        # swept so stale bits of re-entering rows age out
+                        delta = jnp.clip(t - lastt[pl.ds(ro, CR)], 0, NS)
+                        vbc = jnp.where(
+                            delta >= NS, 0,
+                            jnp.left_shift(vb[pl.ds(ro, CR)], delta))
+                        vb[pl.ds(ro, CR)] = \
+                            (vbc | (viab & in_top).astype(jnp.int32)) \
+                            & ((1 << NS) - 1)
+                        lastt[pl.ds(ro, CR)] = jnp.full(
+                            (CR, 128), 0, jnp.int32) + t
+                        if is_p1:
+                            sH[t % DH, pl.ds(ro, CR)] = jnp.where(
+                                in_top, tHs[pl.ds(ro, CR)], NEG)
+                            sE1[t % DE1, pl.ds(ro, CR)] = jnp.where(
+                                in_top, tE1s[pl.ds(ro, CR)], NEG)
+                            sF1[t % DE1, pl.ds(ro, CR)] = jnp.where(
+                                in_top, tF1s[pl.ds(ro, CR)], NEG)
+                            sE2[t % DE2, pl.ds(ro, CR)] = jnp.where(
+                                in_top, tE2s[pl.ds(ro, CR)], NEG)
+                            sF2[t % DE2, pl.ds(ro, CR)] = jnp.where(
+                                in_top, tF2s[pl.ds(ro, CR)], NEG)
+                    if not do_trans:
+                        return car
+                    # transition into score t+1; age-1 sources are the
+                    # tops; m-side neighbours come from the PREVIOUS
+                    # chunk's pre-overwrite values (loop carries)
+                    ho1b = lb(rH, DH, tH, ages["o1"], ro)
+                    ho2b = lb(rH, DH, tH, ages["o2"], ro)
+                    e1b = lb(rE1, DE1, tE1, ages["e1"], ro)
+                    f1b = lb(rF1, DE1, tF1, ages["e1"], ro)
+                    e2b = lb(rE2, DE2, tE2, ages["e2"], ro)
+                    f2b = lb(rF2, DE2, tF2, ages["e2"], ro)
+                    hxb = lb(rH, DH, tH, ages["x"], ro)
+                    ho1, ho2 = ho1b[0:CR], ho2b[0:CR]
+                    src = dict(
+                        Hx=hxb[0:CR],
+                        Ho1m=shm(ho1, cho1), Ho1p=shp(ho1, ho1b[CR:CR + 1]),
+                        Ho2m=shm(ho2, cho2), Ho2p=shp(ho2, ho2b[CR:CR + 1]),
+                        E1m=shm(e1b[0:CR], ce1x),
+                        F1p=shp(f1b[0:CR], f1b[CR:CR + 1]),
+                        E2m=shm(e2b[0:CR], ce2x),
+                        F2p=shp(f2b[0:CR], f2b[CR:CR + 1]))
+                    Hn, E1n, F1n, E2n, F2n, bits = transition_values(src)
+                    in_new = (DDc >= lo) & (DDc <= hi)
+                    wH = jnp.where(in_new, Hn, NEG)
+                    wE1 = jnp.where(in_new, E1n, NEG)
+                    wF1 = jnp.where(in_new, F1n, NEG)
+                    wE2 = jnp.where(in_new, E2n, NEG)
+                    wF2 = jnp.where(in_new, F2n, NEG)
+                    tH[pl.ds(ro, CR)] = wH
+                    tE1[pl.ds(ro, CR)] = wE1
+                    tF1[pl.ds(ro, CR)] = wF1
+                    tE2[pl.ds(ro, CR)] = wE2
+                    tF2[pl.ds(ro, CR)] = wF2
+                    if is_tb:
+                        bits_m = jnp.where(in_new, bits, 0)
+                        pbits[pl.ds(ro, CR)] = bits_m
+                        # fold 4 sublane rows -> one int32 row (1 B/cell,
+                        # the reference tb density, README.md:52-53) and
+                        # DMA through the slot ring with deferred waits
+                        p4 = bits_m.reshape(CR4, 4, 128)
+                        packed = (p4[:, 0] | (p4[:, 1] << 8)
+                                  | (p4[:, 2] << 16) | (p4[:, 3] << 24))
+                        slot = lax.rem(dm[0], NSLOT)
+
+                        @pl.when(((dm[1] >> slot) & 1) == 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                tbrow.at[slot],
+                                tb_ref.at[b, 0, pl.ds(0, CR4)],
+                                sem_tb.at[slot]).wait()
+
+                        tbrow[pl.ds(slot, 1)] = packed[None]
+                        cp = pltpu.make_async_copy(
+                            tbrow.at[slot],
+                            tb_ref.at[b, jnp.minimum(t, spec.S_CAP - 1),
+                                      pl.ds(ro // 4, CR4)],
+                            sem_tb.at[slot])
+                        cp.start()
+                        dm[0] = dm[0] + 1
+                        dm[1] = dm[1] | (1 << slot)
+                    if is_p1:
+                        # propagate snapshot pointers along the chosen
+                        # transitions (reference wf_next_seg,
+                        # miniwfa.c:495-523 — fused with the value
+                        # recurrence, which the C couldn't vectorize)
+                        h1b = lb(sH, DH, tHs, ages["o1"], ro)
+                        h2b = lb(sH, DH, tHs, ages["o2"], ro)
+                        se1b = lb(sE1, DE1, tE1s, ages["e1"], ro)
+                        sf1b = lb(sF1, DE1, tF1s, ages["e1"], ro)
+                        se2b = lb(sE2, DE2, tE2s, ages["e2"], ro)
+                        sf2b = lb(sF2, DE2, tF2s, ages["e2"], ro)
+                        hxs = lb(sH, DH, tHs, ages["x"], ro)[0:CR]
+                        h1, h2 = h1b[0:CR], h2b[0:CR]
+                        e1p = jnp.where(bits & 0x08 != 0,
+                                        shm(se1b[0:CR], cse1), shm(h1, csh1))
+                        f1p = jnp.where(bits & 0x10 != 0,
+                                        shp(sf1b[0:CR], sf1b[CR:CR + 1]),
+                                        shp(h1, h1b[CR:CR + 1]))
+                        e2p = jnp.where(bits & 0x20 != 0,
+                                        shm(se2b[0:CR], cse2), shm(h2, csh2))
+                        f2p = jnp.where(bits & 0x40 != 0,
+                                        shp(sf2b[0:CR], sf2b[CR:CR + 1]),
+                                        shp(h2, h2b[CR:CR + 1]))
+                        zsel = bits & 7
+                        hp = hxs
+                        hp = jnp.where(zsel == 1, e1p, hp)
+                        hp = jnp.where(zsel == 2, f1p, hp)
+                        hp = jnp.where(zsel == 3, e2p, hp)
+                        hp = jnp.where(zsel == 4, f2p, hp)
+                        tHs[pl.ds(ro, CR)] = jnp.where(in_new, hp, NEG)
+                        tE1s[pl.ds(ro, CR)] = jnp.where(in_new, e1p, NEG)
+                        tF1s[pl.ds(ro, CR)] = jnp.where(in_new, f1p, NEG)
+                        tE2s[pl.ds(ro, CR)] = jnp.where(in_new, e2p, NEG)
+                        tF2s[pl.ds(ro, CR)] = jnp.where(in_new, f2p, NEG)
+                        csh1, csh2 = h1b[CR - 1:CR], h2b[CR - 1:CR]
+                        cse1, cse2 = se1b[CR - 1:CR], se2b[CR - 1:CR]
+                    # boundary commit reduction (miniwfa.c:325-326)
+                    viable = jnp.zeros((CR, 128), bool)
+                    for v in (wH, wE1, wF1, wE2, wF2):
+                        viable |= v >= -1
+                    loq = loq | jnp.any(viable & (DDc == lo)).astype(
+                        jnp.int32)
+                    hiq = hiq | jnp.any(viable & (DDc == hi)).astype(
+                        jnp.int32)
+                    return (loq, hiq,
+                            ho1b[CR - 1:CR], ho2b[CR - 1:CR],
+                            e1b[CR - 1:CR], e2b[CR - 1:CR],
+                            csh1, csh2, cse1, cse2)
+                return sweep
+
+            neg_row = jnp.full((1, 128), NEG, jnp.int32)
+            car0 = (z32, z32, neg_row, neg_row, neg_row, neg_row,
+                    neg_row, neg_row, neg_row, neg_row)
+            if not is_p1:
+                car = lax.fori_loop(s0c, s1c, make_sweep(True, True), car0)
+            else:
+                # snapshot cycles must serialize the sf rings AFTER the
+                # whole band retires and BEFORE any transition
+                # (miniwfa.c:585-587): split the sweep on those cycles
+                lax.fori_loop(s0c, s1c, make_sweep(True, False), car0)
+
                 @pl.when(act & snap_due)
                 def _():
-                    # --- 5c. serialize the sf rings (exactly the reachable
+                    # serialize the sf rings (exactly the reachable
                     # slices, vs the reference's full NS x 5 stripe,
                     # miniwfa.c:451-474) and reset them to fresh flat
-                    # indices plane*W + w within each slice's band
-                    w_idx = iota_r() * 128 + iota_l()
+                    # indices plane*WP + w within each slice's band
+                    w_idx = iota2(WRP, 0) * 128 + iota2(WRP, 1)
                     rings = ((sH, DH, P_H), (sE1, DE1, P_E1),
                              (sF1, DE1, P_F1), (sE2, DE2, P_E2),
                              (sF2, DE2, P_F2))
                     for ring, dp, p0 in rings:
                         cp = pltpu.make_async_copy(
-                            ring, snap_ref.at[b, row, p0:p0 + dp], sem)
+                            ring, snap_ref.at[b, row, p0:p0 + dp], sem_sn)
                         cp.start()
                         cp.wait()
                     for ring, dp, p0 in rings:
                         for j in range(dp):
                             s_j = t - jnp.mod(t - j, dp)
                             in_b = (s_j >= 0) \
-                                & (DD >= bnd_lo[s_j % DH]) \
-                                & (DD <= bnd_hi[s_j % DH])
-                            ring[j] = jnp.where(in_b, (p0 + j) * W + w_idx,
-                                                NEG)
-                    # refresh the sf top registers (score t) to match their
-                    # just-reset ring copies: age-1 reads bypass the ring
-                    in_t = (DD >= t_lo) & (DD <= t_hi)
+                                & (DDP >= bnd_lo[jnp.mod(s_j, DH)]) \
+                                & (DDP <= bnd_hi[jnp.mod(s_j, DH)])
+                            ring[j] = jnp.where(
+                                in_b, (p0 + j) * WP + w_idx, NEG)
+                    # refresh the sf top registers (score t) to match
+                    # their just-reset ring copies: age-1 reads bypass
+                    # the ring
+                    in_t = (DDP >= t_lo) & (DDP <= t_hi)
                     for top, dp, p0 in ((tHs, DH, P_H), (tE1s, DE1, P_E1),
                                         (tF1s, DE1, P_F1), (tE2s, DE2, P_E2),
                                         (tF2s, DE2, P_F2)):
                         top[:] = jnp.where(
-                            in_t, (p0 + t % dp) * W + w_idx, NEG)
+                            in_t, (p0 + t % dp) * WP + w_idx, NEG)
 
-            @pl.when(act)
-            def _():
-                # --- 6. transition into score t+1 (wf_next_prep/tb,
-                # miniwfa.c:243-327); age-1 sources are the tops
-                ho1 = rd(rH, DH, tH, t, ages["o1"])
-                ho2 = rd(rH, DH, tH, t, ages["o2"])
-                src = dict(
-                    Hx=rd(rH, DH, tH, t, ages["x"]),
-                    Ho1m=sh_m1(ho1), Ho1p=sh_p1(ho1),
-                    Ho2m=sh_m1(ho2), Ho2p=sh_p1(ho2),
-                    E1m=sh_m1(rd(rE1, DE1, tE1, t, ages["e1"])),
-                    F1p=sh_p1(rd(rF1, DE1, tF1, t, ages["e1"])),
-                    E2m=sh_m1(rd(rE2, DE2, tE2, t, ages["e2"])),
-                    F2p=sh_p1(rd(rF2, DE2, tF2, t, ages["e2"])))
-                Hn, E1n, F1n, E2n, F2n, bits = transition_values(src)
-                in_new = (DD >= lo) & (DD <= hi)
-                tH[:] = jnp.where(in_new, Hn, NEG)
-                tE1[:] = jnp.where(in_new, E1n, NEG)
-                tF1[:] = jnp.where(in_new, F1n, NEG)
-                tE2[:] = jnp.where(in_new, E2n, NEG)
-                tF2[:] = jnp.where(in_new, F2n, NEG)
-                if is_tb:
-                    bits_m = jnp.where(in_new, bits, 0)
-                    pbits[:] = bits_m
-                    tbrow[:] = bits_m
-                    cp = pltpu.make_async_copy(
-                        tbrow, tb_ref.at[b, jnp.minimum(t, spec.S_CAP - 1)],
-                        sem)
-                    cp.start()
-                    cp.wait()
-                if is_p1:
-                    # propagate snapshot pointers along the just-chosen
-                    # transitions (reference wf_next_seg, miniwfa.c:495-523
-                    # — fused with the value recurrence, which the C
-                    # couldn't vectorize fused)
-                    ho1s = rd(sH, DH, tHs, t, ages["o1"])
-                    ho2s = rd(sH, DH, tHs, t, ages["o2"])
-                    hxs = rd(sH, DH, tHs, t, ages["x"])
-                    e1p = jnp.where(bits & 0x08 != 0,
-                                    sh_m1(rd(sE1, DE1, tE1s, t, ages["e1"])),
-                                    sh_m1(ho1s))
-                    f1p = jnp.where(bits & 0x10 != 0,
-                                    sh_p1(rd(sF1, DE1, tF1s, t, ages["e1"])),
-                                    sh_p1(ho1s))
-                    e2p = jnp.where(bits & 0x20 != 0,
-                                    sh_m1(rd(sE2, DE2, tE2s, t, ages["e2"])),
-                                    sh_m1(ho2s))
-                    f2p = jnp.where(bits & 0x40 != 0,
-                                    sh_p1(rd(sF2, DE2, tF2s, t, ages["e2"])),
-                                    sh_p1(ho2s))
-                    z = bits & 7
-                    hp = hxs
-                    hp = jnp.where(z == 1, e1p, hp)
-                    hp = jnp.where(z == 2, f1p, hp)
-                    hp = jnp.where(z == 3, e2p, hp)
-                    hp = jnp.where(z == 4, f2p, hp)
-                    tHs[:] = jnp.where(in_new, hp, NEG)
-                    tE1s[:] = jnp.where(in_new, e1p, NEG)
-                    tF1s[:] = jnp.where(in_new, f1p, NEG)
-                    tE2s[:] = jnp.where(in_new, e2p, NEG)
-                    tF2s[:] = jnp.where(in_new, f2p, NEG)
+                car = lax.fori_loop(s0c, s1c, make_sweep(False, True), car0)
+            lo_ok, hi_ok = car[0] != 0, car[1] != 0
 
-            # boundary commit (miniwfa.c:325-326): read the new tops back
-            viable = jnp.zeros((WR, 128), bool)
-            for r in (tH, tE1, tF1, tE2, tF2):
-                viable |= r[:] >= -1
-            lo_ok = jnp.any(viable & (DD == lo))
-            hi_ok = jnp.any(viable & (DD == hi))
             wf_lo = jnp.where(act & lo_ok, lo, wf_lo)
             wf_hi = jnp.where(act & hi_ok, hi, wf_hi)
             t_lo = jnp.where(act, lo, t_lo)
@@ -689,18 +814,35 @@ def build_kernel(spec: KSpec):
 
             # --- 7. periodic shrink every 256 cycles (miniwfa.c:420):
             # good-diagonal hull over the NS retired slices (minus the
-            # stale slot for score t+1-NS) plus the new tops
+            # stale slot for score t+1-NS) plus the new tops; a rare
+            # separate sweep so the hot path never pays for it
             sh_due = act & (((t + 1) & 0xFF) == 0)
-            good = viable & (DD >= t_lo) & (DD <= t_hi)
-            # retired slices of scores t..t-NS+2 (the stale score t+1-NS
-            # slice is bit NS-1, excluded — miniwfa.c:144-171 semantics)
-            good |= (vb[:] & ((1 << (NS - 1)) - 1)) != 0
-            good &= (DD >= wf_lo) & (DD <= wf_hi)
-            has = jnp.any(good)
-            new_lo = jnp.min(jnp.where(good, DD, BIG))
-            new_hi = jnp.max(jnp.where(good, DD, -BIG))
-            wf_lo = jnp.where(sh_due & has, new_lo, wf_lo)
-            wf_hi = jnp.where(sh_due & has, new_hi, wf_hi)
+            g0c, g1c = chunk_range(wf_lo, wf_hi, ~sh_due)
+
+            def shr_chunk(ci, car):
+                has_a, mn_a, mx_a = car
+                ro = ci * CR
+                DDc = anc + ro * 128 + iota2(CR, 0) * 128 + iota2(CR, 1)
+                viable = jnp.zeros((CR, 128), bool)
+                for r in (tH, tE1, tF1, tE2, tF2):
+                    viable |= r[pl.ds(ro, CR)] >= -1
+                good = viable & (DDc >= t_lo) & (DDc <= t_hi)
+                # retired slices of scores t..t-NS+2 (the stale score
+                # t+1-NS slice is bit NS-1, excluded — miniwfa.c:144-171)
+                good |= (vb[pl.ds(ro, CR)] & ((1 << (NS - 1)) - 1)) != 0
+                good &= (DDc >= wf_lo) & (DDc <= wf_hi)
+                has_a = has_a | jnp.any(good).astype(jnp.int32)
+                mn_a = jnp.minimum(mn_a, jnp.min(
+                    jnp.where(good, DDc, BIG)))
+                mx_a = jnp.maximum(mx_a, jnp.max(
+                    jnp.where(good, DDc, -BIG)))
+                return has_a, mn_a, mx_a
+
+            has_i, new_lo, new_hi = lax.fori_loop(
+                g0c, g1c, shr_chunk, (z32, jnp.int32(BIG), jnp.int32(-BIG)))
+            shrink = sh_due & (has_i != 0)
+            wf_lo = jnp.where(shrink, new_lo, wf_lo)
+            wf_hi = jnp.where(shrink, new_hi, wf_hi)
 
             # --- 8. accounting + early stop (miniwfa.c:421-425)
             n_lo = n_lo + jnp.where(act, width, 0)
@@ -731,6 +873,15 @@ def build_kernel(spec: KSpec):
         carry = lax.while_loop(cond, cycle, carry)
         (t, _, _, _, _, done_i, stopped_i, ovf_i,
          final_s, last_state, n_lo, n_hi, _, lp, snc) = carry
+        if is_tb:
+            # drain outstanding tb DMAs before the next lane reuses tbrow
+            for i in range(NSLOT):
+                @pl.when(((dm[1] >> i) & 1) == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        tbrow.at[i], tb_ref.at[b, 0, pl.ds(0, CR4)],
+                        sem_tb.at[i]).wait()
+            dm[1] = 0
         done, stopped, ovf = done_i != 0, stopped_i != 0, ovf_i != 0
         alive = ~(done | stopped | ovf)
         out_ref[b, O_S] = final_s
@@ -748,57 +899,62 @@ def build_kernel(spec: KSpec):
     out_shapes = [jax.ShapeDtypeStruct((spec.B, O_N), jnp.int32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if is_tb:
-        # full-array ANY ref (HBM): rows DMA'd at dynamic [lane, cycle]
+        # packed tb rows (4 band rows / int32 row), DMA'd per chunk at
+        # dynamic [lane, cycle, row-offset]
         out_shapes.append(jax.ShapeDtypeStruct(
-            (spec.B, spec.S_CAP, WR, 128), jnp.int32))
+            (spec.B, spec.S_CAP, WR4, 128), jnp.int32))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     if is_p1:
         # snapshot rows: serialized sf rings, DMA'd at [lane, snapshot]
         out_shapes.append(jax.ShapeDtypeStruct(
-            (spec.B, max(spec.n_snap, 1), NP, WR, 128), jnp.int32))
+            (spec.B, max(spec.n_snap, 1), NP, WRP, 128), jnp.int32))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
+    wpad = ((WR + 127) // 128) * 128
     scratch = [
-        pltpu.VMEM((DH, WR, 128), jnp.int32),    # rH
-        pltpu.VMEM((DE1, WR, 128), jnp.int32),   # rE1
-        pltpu.VMEM((DE1, WR, 128), jnp.int32),   # rF1
-        pltpu.VMEM((DE2, WR, 128), jnp.int32),   # rE2
-        pltpu.VMEM((DE2, WR, 128), jnp.int32),   # rF2
-        pltpu.VMEM((WR, 128), jnp.int32),        # vb (bit-packed)
-        pltpu.VMEM((WR, 128), jnp.int32),        # tH
-        pltpu.VMEM((WR, 128), jnp.int32),        # tE1
-        pltpu.VMEM((WR, 128), jnp.int32),        # tF1
-        pltpu.VMEM((WR, 128), jnp.int32),        # tE2
-        pltpu.VMEM((WR, 128), jnp.int32),        # tF2
-        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wta
-        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wtb
-        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wqa
-        pltpu.VMEM((((WR + 127) // 128) * 128, 128), jnp.int32),  # wqb
-        pltpu.VMEM((WR, 128), jnp.int32),        # baT
-        pltpu.VMEM((WR, 128), jnp.int32),        # baQ
-        pltpu.VMEM((WR, 128), jnp.int32),        # pbits
-        pltpu.VMEM((WR, 128), jnp.int32),        # tbrow
-        pltpu.SemaphoreType.DMA,
-        pltpu.VMEM((NTAB, NTAB), jnp.int32),     # twtv (resident segment)
-        pltpu.VMEM((NTAB, NTAB), jnp.int32),     # twqv
-        pltpu.SMEM((2,), jnp.int32),             # cs (resident seg ids)
-        pltpu.SemaphoreType.DMA,                 # sem2 (table DMA)
-        pltpu.VMEM((NTAB, NTAB), jnp.int32),     # wtmp (masked-fill temp)
+        pltpu.VMEM((DH, WRP, 128), jnp.int32),    # rH
+        pltpu.VMEM((DE1, WRP, 128), jnp.int32),   # rE1
+        pltpu.VMEM((DE1, WRP, 128), jnp.int32),   # rF1
+        pltpu.VMEM((DE2, WRP, 128), jnp.int32),   # rE2
+        pltpu.VMEM((DE2, WRP, 128), jnp.int32),   # rF2
+        pltpu.VMEM((WRP, 128), jnp.int32),        # vb (bit-packed)
+        pltpu.VMEM((WRP, 128), jnp.int32),        # lastt
+        pltpu.VMEM((WRP, 128), jnp.int32),        # tH
+        pltpu.VMEM((WRP, 128), jnp.int32),        # tE1
+        pltpu.VMEM((WRP, 128), jnp.int32),        # tF1
+        pltpu.VMEM((WRP, 128), jnp.int32),        # tE2
+        pltpu.VMEM((WRP, 128), jnp.int32),        # tF2
+        pltpu.VMEM((wpad, 128), jnp.int32),       # wta
+        pltpu.VMEM((wpad, 128), jnp.int32),       # wtb
+        pltpu.VMEM((wpad, 128), jnp.int32),       # wqa
+        pltpu.VMEM((wpad, 128), jnp.int32),       # wqb
+        pltpu.VMEM((WR, 128), jnp.int32),         # baT
+        pltpu.VMEM((WR, 128), jnp.int32),         # baQ
+        pltpu.VMEM((WR, 128), jnp.int32),         # pbits
+        pltpu.VMEM((NSLOT, CR4, 128), jnp.int32),  # tbrow slots
+        pltpu.SemaphoreType.DMA((NSLOT,)),        # sem_tb
+        pltpu.SMEM((2,), jnp.int32),              # dm: slot ctr, pending
+        pltpu.VMEM((NTAB, NTAB), jnp.int32),      # twtv (resident segment)
+        pltpu.VMEM((NTAB, NTAB), jnp.int32),      # twqv
+        pltpu.SMEM((2,), jnp.int32),              # cs (resident seg ids)
+        pltpu.SemaphoreType.DMA,                  # sem2 (table DMA)
+        pltpu.VMEM((NTAB, NTAB), jnp.int32),      # wtmp (masked-fill temp)
+        pltpu.SMEM((DH,), jnp.int32),             # bnd_lo (score-band reg)
+        pltpu.SMEM((DH,), jnp.int32),             # bnd_hi
     ]
     if is_p1:
         scratch += [
-            pltpu.VMEM((DH, WR, 128), jnp.int32),    # sH
-            pltpu.VMEM((DE1, WR, 128), jnp.int32),   # sE1
-            pltpu.VMEM((DE1, WR, 128), jnp.int32),   # sF1
-            pltpu.VMEM((DE2, WR, 128), jnp.int32),   # sE2
-            pltpu.VMEM((DE2, WR, 128), jnp.int32),   # sF2
-            pltpu.VMEM((WR, 128), jnp.int32),        # tHs
-            pltpu.VMEM((WR, 128), jnp.int32),        # tE1s
-            pltpu.VMEM((WR, 128), jnp.int32),        # tF1s
-            pltpu.VMEM((WR, 128), jnp.int32),        # tE2s
-            pltpu.VMEM((WR, 128), jnp.int32),        # tF2s
-            pltpu.SMEM((DH,), jnp.int32),            # bnd_lo
-            pltpu.SMEM((DH,), jnp.int32),            # bnd_hi
+            pltpu.VMEM((DH, WRP, 128), jnp.int32),    # sH
+            pltpu.VMEM((DE1, WRP, 128), jnp.int32),   # sE1
+            pltpu.VMEM((DE1, WRP, 128), jnp.int32),   # sF1
+            pltpu.VMEM((DE2, WRP, 128), jnp.int32),   # sE2
+            pltpu.VMEM((DE2, WRP, 128), jnp.int32),   # sF2
+            pltpu.VMEM((WRP, 128), jnp.int32),        # tHs
+            pltpu.VMEM((WRP, 128), jnp.int32),        # tE1s
+            pltpu.VMEM((WRP, 128), jnp.int32),        # tF1s
+            pltpu.VMEM((WRP, 128), jnp.int32),        # tE2s
+            pltpu.VMEM((WRP, 128), jnp.int32),        # tF2s
+            pltpu.SemaphoreType.DMA,                  # sem_sn (snapshots)
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -829,7 +985,9 @@ def build_kernel(spec: KSpec):
 @functools.lru_cache(maxsize=64)
 def get_kernel(spec: KSpec, interpret: bool = False):
     """Jitted fused-cycle aligner.  Returns fn(scal, twt, twq) -> dict
-    with the same keys as the lax engine's output (ops/wavefront.py)."""
+    with the same keys as the lax engine's output (ops/wavefront.py),
+    except the traceback comes back PACKED (``tb_packed``: [B, S_CAP,
+    WR//4, 128] int32, 4 rows/word — see unpack_tb)."""
     call = build_kernel(spec)
     is_tb = spec.mode == MODE_TB
     is_p1 = spec.mode == MODE_PASS1
@@ -845,20 +1003,28 @@ def get_kernel(spec: KSpec, interpret: bool = False):
             last_state=o[:, O_LS], n_iter_lo=o[:, O_NLO],
             n_iter_hi=o[:, O_NHI])
         if is_tb:
-            # walker layout: [B, S_CAP, W] uint8 rows anchored at anc
-            res["tb_bits"] = (outs[1] & 0x7F).astype(jnp.uint8).reshape(
-                spec.B, spec.S_CAP, spec.W)
-            res["tb_anc"] = jnp.broadcast_to(
-                scal[:, SC_ANC:SC_ANC + 1], (spec.B, spec.S_CAP))
+            res["tb_packed"] = outs[1]
         if is_p1:
             np_ = snapshot_layout(spec)[5]
             res["snap"] = outs[1].reshape(
-                spec.B, max(spec.n_snap, 1), np_ * spec.W)
+                spec.B, max(spec.n_snap, 1), np_ * (spec.WR + 8) * 128)
             res["snap_cnt"] = o[:, O_SNC]
             res["last_ptr"] = o[:, O_LP]
         return res
 
     return jax.jit(run)
+
+
+def unpack_tb(packed) -> "np.ndarray":
+    """Unpack kernel tb rows [S, WR4, 128] int32 -> [S, W] uint8 (host).
+    Band row r = 4*r4 + j lives in byte j of packed row r4."""
+    import numpy as np
+    p = np.asarray(packed).view(np.uint32)
+    S, WR4, _ = p.shape
+    out = np.empty((S, WR4, 4, 128), np.uint8)
+    for j in range(4):
+        out[:, :, j, :] = ((p >> np.uint32(8 * j)) & 0x7F).astype(np.uint8)
+    return out.reshape(S, WR4 * 4 * 128)
 
 
 def nseg_for(length: int, cpw: int) -> int:

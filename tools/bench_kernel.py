@@ -124,8 +124,8 @@ def main():
         from miniwfa_tpu.models import traceback as tbk
         from miniwfa_tpu import cigar as C
         opt = Options(**pen, cigar=True)
-        tb = np.asarray(out["tb_bits"][0, :max(s, 1)])
-        tb_lo = np.asarray(out["tb_anc"][0, :max(s, 1)])
+        tb = wk.unpack_tb(np.asarray(out["tb_packed"][0, :max(s, 1)]))
+        tb_lo = np.full((max(s, 1),), anc, np.int32)
         t0 = time.perf_counter()
         cig = tbk.traceback_walk(opt, tb, tb_lo, 0, ts.encode(), qs.encode(),
                                  s, int(out["last_state"][0]))

@@ -36,7 +36,7 @@ def build(WR, CR, T, NR, chunked, n_dma_slots=4):
             r[:] = jnp.full((WRP, 128), 3, jnp.int32)
         for r in (tA, tB, tC, tD, tE, vb):
             r[:] = jnp.full((WRP, 128), 1, jnp.int32)
-        tbrow[:] = jnp.zeros((n_dma_slots, max(CR // 4, 1), 128), jnp.int32)
+        tbrow[:] = jnp.zeros(tbrow.shape, jnp.int32)
 
         def alu(blks, c):
             a, b_, c_, d, e, f, g = blks
@@ -69,9 +69,9 @@ def build(WR, CR, T, NR, chunked, n_dma_slots=4):
                     p = bits.reshape(CR // 4, 4, 128)
                     packed = (p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16)
                               | (p[:, 3] << 24))
-                    slot = ci % n_dma_slots
-                    sem = sems[slot]
-                    tbrow[slot] = packed
+                    slot = lax.rem(ci, n_dma_slots)
+                    sem = sems[0].at[slot]
+                    tbrow[pl.ds(slot, 1)] = packed[None]
                     cp = pltpu.make_async_copy(
                         tbrow.at[slot],
                         tb_ref.at[t % 64, pl.ds(ro // 4, CR // 4)], sem)
@@ -89,7 +89,7 @@ def build(WR, CR, T, NR, chunked, n_dma_slots=4):
                 p = bits.reshape(WR // 4, 4, 128)
                 packed = (p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16)
                           | (p[:, 3] << 24))
-                sem = sems[0]
+                sem = sems[0].at[0]
                 cp = pltpu.make_async_copy(
                     tbrow.at[0], tb_ref.at[t % 64], sem)
                 tbrow[0, 0:WR4] = packed
@@ -106,7 +106,7 @@ def build(WR, CR, T, NR, chunked, n_dma_slots=4):
         *[pltpu.VMEM((WRP, 128), jnp.int32) for _ in range(7)],   # rings
         *[pltpu.VMEM((WRP, 128), jnp.int32) for _ in range(6)],   # tops+vb
         pltpu.VMEM((n_dma_slots, tb_rows, 128), jnp.int32),       # tbrow
-        *[pltpu.SemaphoreType.DMA for _ in range(n_dma_slots)],
+        pltpu.SemaphoreType.DMA((n_dma_slots,)),
     ]
     fn = pl.pallas_call(
         kernel,

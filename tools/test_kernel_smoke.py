@@ -56,8 +56,8 @@ def run_cases(names=("t3", "homopoly", "med2k", "med3k_bigdel", "gap300")):
             from miniwfa_tpu.models import traceback as tbk
             from miniwfa_tpu import cigar as C
             opt = Options(**pen, cigar=True)
-            tb = np.asarray(out["tb_bits"][0, :max(s, 1)])
-            tb_lo = np.asarray(out["tb_anc"][0, :max(s, 1)])
+            tb = wk.unpack_tb(np.asarray(out["tb_packed"][0, :max(s, 1)]))
+            tb_lo = np.full((max(s, 1),), anc, np.int32)
             cig = tbk.traceback_walk(opt, tb, tb_lo, 0, ts, qs, s,
                                      int(out["last_state"][0]))
             got = C.to_string(cig)
