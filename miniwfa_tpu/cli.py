@@ -12,8 +12,15 @@ record i of file 1 (target) against record i of file 2 (query).
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 import time
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit backend choice even when a sitecustomize-registered
+    # TPU plugin (axon) clobbers the env var at interpreter start
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from . import Options, align_auto, align_chain, align_exact
 from . import cigar as C

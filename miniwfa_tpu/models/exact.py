@@ -123,7 +123,7 @@ def _kernel_eligible(opt: Options, mode: int, bk: _Buckets,
     sequences within its word-table capacity; everything else uses the
     lax-level engine."""
     eng = os.environ.get("MWF_ENGINE", "auto")
-    if eng == "lax":
+    if eng in ("lax", "wide", "wide-interpret"):
         return False
     if eng not in ("kernel", "kernel-interpret") and \
             jax.default_backend() != "tpu":
@@ -146,6 +146,86 @@ def _kernel_eligible(opt: Options, mode: int, bk: _Buckets,
     mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
              default=0)
     return wk.nseg_for(mx, cpw) <= 64  # segmented HBM word tables
+
+
+# wide-engine (HBM-ring) band cap: W is bounded by HBM, not VMEM; 2^20
+# diagonals covers s ~ 500k (the reference's 5 Mb headline pairs sit at
+# s ~ 230-290k, band ~ 2s).  WR must be a multiple of the staging chunk
+# (CR=128 rows -> W multiple of 16384); the pow2 bucket ladder satisfies it.
+WIDE_W_CAP = 1 << 20
+# snapshot HBM budget per wide pass-1 lane ((n_snap+1) ring-layout rows)
+WIDE_SNAP_BUDGET = int(os.environ.get("MWF_WIDE_SNAP_GB", "10")) << 30
+
+
+def _wide_eligible(opt: Options, mode: int, bk: _Buckets,
+                   ts_list, qs_list, cpw: int) -> bool:
+    """The wide-band engine (ops/wavefront_wide.py) extends SCORE and
+    low-mem PASS1 beyond the VMEM kernel's window caps by keeping the DP
+    planes in HBM and streaming 128-row chunks through VMEM."""
+    eng = os.environ.get("MWF_ENGINE", "auto")
+    if eng == "lax":
+        return False
+    if eng not in ("kernel", "kernel-interpret", "wide", "wide-interpret") \
+            and jax.default_backend() != "tpu":
+        return False
+    if mode not in (MODE_SCORE, MODE_PASS1):
+        return False
+    if bk.W % 16384 or bk.W > WIDE_W_CAP:
+        return False
+    if opt.max_pen + 1 > 31:
+        return False
+    from ..ops import wavefront_kernel as wk
+    mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
+             default=0)
+    return wk.nseg_for(mx, cpw) <= 64
+
+
+def _run_device_wide(opt: Options, mode: int, bk: _Buckets,
+                     ts_list: List[bytes], qs_list: List[bytes], cpw: int):
+    """Dispatch a batch to the wide-band HBM-ring kernel; same output
+    contract as _run_device_kernel (SCORE/PASS1 subsets)."""
+    from ..ops import wavefront_kernel as wk
+    from ..ops import wavefront_wide as ww
+    n = len(ts_list)
+    B = max(1, n)   # grid lanes are sequential; no pow2 padding needed
+    is_p1 = mode == MODE_PASS1
+    mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
+             default=0)
+    spec = ww.WSpec(
+        B=B, WR=bk.W // 128, S_CAP=bk.S_CAP,
+        x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
+        mode=wk.MODE_PASS1 if is_p1 else wk.MODE_SCORE, cpw=cpw,
+        max_s=0 if is_p1 else opt.max_s,
+        max_iter=0 if is_p1 else opt.max_iter,
+        step=opt.step if is_p1 else 0,
+        n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0,
+        nseg=wk.nseg_for(mx, cpw))
+    if is_p1:
+        nring = wk.snapshot_layout(spec.kspec())[5]
+        per_lane = (spec.n_snap + 1) * nring * (spec.WR + 8) * 128 * 4
+        if per_lane > WIDE_SNAP_BUDGET:
+            raise RuntimeError(
+                f"low-mem snapshot buffer {per_lane/2**30:.1f} GiB/lane at "
+                f"step={opt.step}, W={bk.W}, S_CAP={bk.S_CAP} exceeds the "
+                f"{WIDE_SNAP_BUDGET/2**30:.0f} GiB budget — use a larger "
+                f"step (reference default 5000) or the chain mode")
+    pad_t = ts_list + [b""] * (B - n)
+    pad_q = qs_list + [b""] * (B - n)
+    scal = np.zeros((B, wk.SC_ANC + 1), np.int32)
+    for i, (t, q) in enumerate(zip(pad_t, pad_q)):
+        scal[i, wk.SC_TL] = len(t)
+        scal[i, wk.SC_QL] = len(q)
+        scal[i, wk.SC_ANC] = (len(q) - len(t)) // 2 - spec.W // 2
+    twt = wk.pack_table(pad_t, cpw, spec.nseg)
+    twq = wk.pack_table(pad_q, cpw, spec.nseg)
+    interp = os.environ.get("MWF_ENGINE") in ("kernel-interpret",
+                                              "wide-interpret")
+    fn = ww.get_kernel_wide(spec, interpret=interp)
+    out = dict(fn(scal, twt, twq))
+    out["kernel_cpw"] = cpw
+    out["anc"] = scal[:, wk.SC_ANC]
+    # the kspec twin carries every field the checkpoint decoder reads
+    return out, spec.kspec()
 
 
 def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
@@ -221,6 +301,8 @@ def _run_device(opt: Options, mode: int, bk: _Buckets,
     cpw = _cpw_for(ts_list, qs_list)
     if _kernel_eligible(opt, mode, bk, ts_list, qs_list, cpw):
         return _run_device_kernel(opt, mode, bk, ts_list, qs_list, segs, cpw)
+    if _wide_eligible(opt, mode, bk, ts_list, qs_list, cpw):
+        return _run_device_wide(opt, mode, bk, ts_list, qs_list, cpw)
     n = len(ts_list)
     B = bk.B
     use_seg = segs is not None and any(segs)
@@ -274,17 +356,18 @@ def _pass1_lane_cap(opt: Options, bk: _Buckets) -> int:
 
 def _pass1_w_cap(ts_list, qs_list) -> int:
     """Largest pass-1 band window the backend can serve.  On TPU the
-    fused kernel takes PASS1 up to W=32768 (its sf shadow rings double
-    the ring VMEM); beyond that there is NO safe engine on TPU (the lax
-    engine has a known fault region at W=16384, PERF_NOTES.md), so the
-    driver raises instead of silently falling through."""
+    fused VMEM kernel takes PASS1 up to W=32768 (its sf shadow rings
+    double the ring VMEM) and the wide HBM-ring engine
+    (ops/wavefront_wide.py) carries it to WIDE_W_CAP; sequences beyond
+    the segmented word-table capacity fall to the lax engine, capped
+    below its known-bad W=16384 region (PERF_NOTES.md)."""
     if jax.default_backend() != "tpu":
         return 1 << 30
     from ..ops import wavefront_kernel as wk
     cpw = _cpw_for(ts_list, qs_list)
     mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
              default=0)
-    return 32768 if wk.nseg_for(mx, cpw) <= 64 else 8192
+    return WIDE_W_CAP if wk.nseg_for(mx, cpw) <= 64 else 8192
 
 
 def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
@@ -351,17 +434,23 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
 
 def _device_w_cap(mode, bk, ts_list, qs_list) -> int:
     """Largest band window the current backend can serve for this batch.
-    The fused kernel handles W<=32768 on TPU; batches it cannot take
-    (sequences beyond its word-table capacity) fall to the lax engine,
-    which on TPU is capped below its known-bad W=16384 region
-    (PERF_NOTES.md); on CPU there is no cap."""
+    On TPU: score-only batches escalate through the fused VMEM kernel
+    (W<=65536) into the wide HBM-ring engine (W<=WIDE_W_CAP); CIGAR
+    (MODE_TB) stays on the VMEM kernel — high-mem tb at wider bands
+    exceeds HBM exactly as it exceeds RAM for the reference
+    (README.md:98); use the low-mem mode there.  Sequences beyond the
+    segmented word-table capacity fall to the lax engine, capped below
+    its known-bad W=16384 region (PERF_NOTES.md); on CPU there is no
+    cap."""
     if jax.default_backend() != "tpu":
         return 1 << 30
     cpw = _cpw_for(ts_list, qs_list)
     from ..ops import wavefront_kernel as wk
     mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
              default=0)
-    return 65536 if wk.nseg_for(mx, cpw) <= 64 else 8192
+    if wk.nseg_for(mx, cpw) > 64:
+        return 8192
+    return 65536 if mode == MODE_TB else WIDE_W_CAP
 
 
 def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
@@ -382,7 +471,8 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         return []
     bk = _buckets_for(opt, ts_list, qs_list, w0, s0)
     ns = opt.max_pen + 1
-    w_cap = _device_w_cap(None, bk, ts_list, qs_list)
+    mode = MODE_TB if opt.cigar else MODE_SCORE
+    w_cap = _device_w_cap(mode, bk, ts_list, qs_list)
     if bk.W > w_cap:
         bk = _Buckets(bk.B, bk.LT, bk.LQ, w_cap, bk.S_CAP,
                       bk.W_full, bk.S_full)
@@ -400,7 +490,6 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                       S_CAP=min(s_cap2, bk.S_full),
                       W_full=bk.W_full, S_full=bk.S_full)
 
-    mode = MODE_TB if opt.cigar else MODE_SCORE
     idx = list(range(n))
     cur_bk = bk
     while idx:

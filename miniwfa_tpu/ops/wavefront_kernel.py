@@ -150,6 +150,33 @@ def _ages(spec: KSpec):
                 e1=spec.e1, e2=spec.e2)
 
 
+def transition_values(src):
+    """5-state dual-affine recurrence + 7-bit tb byte with the exact
+    reference tie-breaks (wf_next_tb, miniwfa.c:287-307).  ``src`` maps
+    the 7 source blocks (same shape arrays); shared by the VMEM-ring
+    engine below and the HBM-ring wide engine (wavefront_wide.py)."""
+    bit08 = src["Ho1m"] < src["E1m"]
+    e1 = jnp.maximum(src["Ho1m"], src["E1m"])
+    bit20 = src["Ho2m"] < src["E2m"]
+    e2 = jnp.maximum(src["Ho2m"], src["E2m"])
+    ze = jnp.where(e1 >= e2, 1, 3)
+    e = jnp.maximum(e1, e2)
+    bit10 = src["Ho1p"] < src["F1p"]
+    f1 = jnp.maximum(src["Ho1p"], src["F1p"]) + 1
+    bit40 = src["Ho2p"] < src["F2p"]
+    f2 = jnp.maximum(src["Ho2p"], src["F2p"]) + 1
+    zf = jnp.where(f1 >= f2, 2, 4)
+    f = jnp.maximum(f1, f2)
+    z = jnp.where(e >= f, ze, zf)
+    h = jnp.maximum(e, f)
+    hx = src["Hx"] + 1
+    z = jnp.where(hx >= h, 0, z)
+    H = jnp.maximum(hx, h)
+    bits = (bit08.astype(jnp.int32) << 3) | (bit10.astype(jnp.int32) << 4) \
+        | (bit20.astype(jnp.int32) << 5) | (bit40.astype(jnp.int32) << 6) | z
+    return H, e1, f1, e2, f2, bits
+
+
 def snapshot_layout(spec: KSpec):
     """Plane offsets of the serialized sf rings in a snapshot row
     [NP, WR+8, 128]: [H ring | E1 ring | F1 ring | E2 ring | F2 ring].
@@ -982,6 +1009,27 @@ def build_kernel(spec: KSpec):
     return call
 
 
+def _assemble(spec: KSpec, outs):
+    """Kernel outputs -> the lax-engine-compatible result dict."""
+    o = outs[0]
+    res = dict(
+        final_s=o[:, O_S], done=o[:, O_DONE] != 0,
+        stopped=o[:, O_STOP] != 0, ovf_band=o[:, O_OVFB] != 0,
+        ovf_scap=o[:, O_OVFS] != 0,
+        overflow=(o[:, O_OVFB] != 0) | (o[:, O_OVFS] != 0),
+        last_state=o[:, O_LS], n_iter_lo=o[:, O_NLO],
+        n_iter_hi=o[:, O_NHI])
+    if spec.mode == MODE_TB:
+        res["tb_packed"] = outs[1]
+    if spec.mode == MODE_PASS1:
+        np_ = snapshot_layout(spec)[5]
+        res["snap"] = outs[1].reshape(
+            spec.B, max(spec.n_snap, 1), np_ * (spec.WR + 8) * 128)
+        res["snap_cnt"] = o[:, O_SNC]
+        res["last_ptr"] = o[:, O_LP]
+    return res
+
+
 @functools.lru_cache(maxsize=64)
 def get_kernel(spec: KSpec, interpret: bool = False):
     """Jitted fused-cycle aligner.  Returns fn(scal, twt, twq) -> dict
@@ -989,30 +1037,55 @@ def get_kernel(spec: KSpec, interpret: bool = False):
     except the traceback comes back PACKED (``tb_packed``: [B, S_CAP,
     WR//4, 128] int32, 4 rows/word — see unpack_tb)."""
     call = build_kernel(spec)
-    is_tb = spec.mode == MODE_TB
-    is_p1 = spec.mode == MODE_PASS1
 
     def run(scal, twt, twq):
-        outs = call(scal, twt, twq, interpret=interpret)
-        o = outs[0]
-        res = dict(
-            final_s=o[:, O_S], done=o[:, O_DONE] != 0,
-            stopped=o[:, O_STOP] != 0, ovf_band=o[:, O_OVFB] != 0,
-            ovf_scap=o[:, O_OVFS] != 0,
-            overflow=(o[:, O_OVFB] != 0) | (o[:, O_OVFS] != 0),
-            last_state=o[:, O_LS], n_iter_lo=o[:, O_NLO],
-            n_iter_hi=o[:, O_NHI])
-        if is_tb:
-            res["tb_packed"] = outs[1]
-        if is_p1:
-            np_ = snapshot_layout(spec)[5]
-            res["snap"] = outs[1].reshape(
-                spec.B, max(spec.n_snap, 1), np_ * (spec.WR + 8) * 128)
-            res["snap_cnt"] = o[:, O_SNC]
-            res["last_ptr"] = o[:, O_LP]
-        return res
+        return _assemble(spec, call(scal, twt, twq, interpret=interpret))
 
     return jax.jit(run)
+
+
+def get_sharded_kernel(spec: KSpec, mesh, axis: str = "data",
+                       interpret: bool = False):
+    """The fused-cycle kernel SPMD over a device mesh: lanes shard across
+    ``axis`` and each device runs its own pallas grid over its local
+    lanes (pure data parallelism, the scale-out strategy per SURVEY.md
+    §2's parallelism inventory) — so multi-chip deployments scale THIS
+    engine's per-chip throughput, not the lax fallback's.  spec.B must
+    be divisible by the axis size.  The cell counter is additionally
+    merged into ``global_cells`` with a psum over the mesh, matching
+    get_sharded_aligner's contract (ops/wavefront.py)."""
+    import dataclasses
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    local = dataclasses.replace(spec, B=spec.B // mesh.shape[axis])
+    call = build_kernel(local)
+
+    def run(scal, twt, twq):
+        res = _assemble(local, call(scal, twt, twq, interpret=interpret))
+        cells = (res["n_iter_hi"].astype(jnp.float32) * jnp.float32(2 ** 30)
+                 + res["n_iter_lo"].astype(jnp.float32))
+        res["global_cells"] = jax.lax.psum(jnp.sum(cells), axis)
+        return res
+
+    keys = ["final_s", "done", "stopped", "ovf_band", "ovf_scap",
+            "overflow", "last_state", "n_iter_lo", "n_iter_hi"]
+    if spec.mode == MODE_TB:
+        keys.append("tb_packed")
+    if spec.mode == MODE_PASS1:
+        keys += ["snap", "snap_cnt", "last_ptr"]
+    out_specs = {k: P(axis) for k in keys}
+    out_specs["global_cells"] = P()
+    try:
+        fn = shard_map(run, mesh=mesh, in_specs=(P(axis),) * 3,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spelling
+        fn = shard_map(run, mesh=mesh, in_specs=(P(axis),) * 3,
+                       out_specs=out_specs, check_rep=False)
+    return jax.jit(fn)
 
 
 def unpack_tb(packed) -> "np.ndarray":

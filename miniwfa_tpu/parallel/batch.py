@@ -24,12 +24,15 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import os
+
 from ..options import Options
 from ..ops import pack
 from ..ops.wavefront import (
     MODE_PASS1, MODE_SCORE, MODE_TB, WfSpec, get_sharded_aligner)
 from ..models.exact import (
-    Result, Seg, _buckets_for, _cpw_for, as_bytes, _next_pow2)
+    Result, Seg, _Buckets, _buckets_for, _cpw_for, _kernel_eligible,
+    as_bytes, _next_pow2)
 from ..models import traceback as tbk
 
 
@@ -108,10 +111,66 @@ def _sync_segs(segs: List[Optional[Seg]]) -> List[Seg]:
     return out
 
 
+def _run_sharded_kernel(opt: Options, mode: int, mesh, axis, ts_list,
+                        qs_list, idx, B, W, S_CAP, segs, cpw):
+    """Sharded dispatch to the fused-cycle Pallas kernel (the single-chip
+    flagship engine, ops/wavefront_kernel.py): each device runs the
+    kernel grid over its local lanes under shard_map, so per-chip
+    throughput in multi-chip deployments matches align_batch's."""
+    from ..ops import wavefront_kernel as wk
+    sub_segs = [segs[i] for i in idx] if segs is not None else None
+    use_seg = sub_segs is not None and any(sub_segs)
+    seg_cap = max((len(s) for s in sub_segs if s), default=0) + 1 \
+        if use_seg else 1
+    kmode = {MODE_SCORE: wk.MODE_SCORE, MODE_TB: wk.MODE_TB,
+             MODE_PASS1: wk.MODE_PASS1}[mode]
+    is_p1 = mode == MODE_PASS1
+    pad_t = [ts_list[i] for i in idx] + [b""] * (B - len(idx))
+    pad_q = [qs_list[i] for i in idx] + [b""] * (B - len(idx))
+    mx = max((len(s) for s in pad_t + pad_q), default=0)
+    spec = wk.KSpec(
+        B=B, WR=W // 128, S_CAP=S_CAP,
+        x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
+        mode=kmode, cpw=cpw, seg_cap=seg_cap, use_seg=use_seg,
+        max_s=0 if is_p1 else opt.max_s,
+        max_iter=0 if is_p1 else opt.max_iter,
+        step=opt.step if is_p1 else 0,
+        n_snap=(S_CAP // opt.step + 2) if is_p1 else 0,
+        nseg=wk.nseg_for(mx, cpw))
+    nsc = wk.SC_SEG + 2 * seg_cap
+    scal = np.zeros((B, nsc), np.int32)
+    for row, (t, q) in enumerate(zip(pad_t, pad_q)):
+        scal[row, wk.SC_TL] = len(t)
+        scal[row, wk.SC_QL] = len(q)
+        scal[row, wk.SC_ANC] = (len(q) - len(t)) // 2 - spec.W // 2
+        if use_seg and row < len(idx) and sub_segs[row]:
+            sg = sub_segs[row]
+            scal[row, wk.SC_NSEG] = len(sg)
+            scal[row, wk.SC_SEG:wk.SC_SEG + len(sg)] = [s for s, _ in sg]
+            scal[row, wk.SC_SEG + seg_cap:wk.SC_SEG + seg_cap + len(sg)] = \
+                [d for _, d in sg]
+    twt = wk.pack_table(pad_t, cpw, spec.nseg)
+    twq = wk.pack_table(pad_q, cpw, spec.nseg)
+    interp = os.environ.get("MWF_ENGINE") == "kernel-interpret"
+    fn = wk.get_sharded_kernel(spec, mesh, axis, interpret=interp)
+    shard = NamedSharding(mesh, P(axis))
+    out = dict(fn(*(jax.device_put(a, shard) for a in (scal, twt, twq))))
+    out["kernel_cpw"] = cpw
+    out["anc"] = scal[:, wk.SC_ANC]
+    return out, spec
+
+
 def _run_sharded(opt: Options, mode: int, bk, mesh, axis, ts_list, qs_list,
                  idx, W, S_CAP, segs=None):
     ndev = mesh.shape[axis]
     B = _next_mult(max(1, len(idx)), ndev)
+    cpw = _cpw_for(ts_list, qs_list)
+    kbk = _Buckets(B, bk.LT, bk.LQ, W, S_CAP, bk.W_full, bk.S_full)
+    if _kernel_eligible(opt, mode, kbk,
+                        [ts_list[i] for i in idx],
+                        [qs_list[i] for i in idx], cpw):
+        return _run_sharded_kernel(opt, mode, mesh, axis, ts_list, qs_list,
+                                   idx, B, W, S_CAP, segs, cpw)
     use_seg = segs is not None and any(segs[i] for i in idx)
     seg_cap = max((len(segs[i]) for i in idx if segs[i]), default=0) + 1 \
         if use_seg else 1
@@ -177,15 +236,23 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
                                      ts_list, qs_list, idx, W, S_CAP)
             sm = _allgather_small(out, ["overflow", "ovf_band", "ovf_scap",
                                         "snap_cnt", "last_ptr"])
+            is_kernel = "kernel_cpw" in out
+            snap_arr = out["snap"] if is_kernel else out["snap_x"]
             retry = []
             for row, i in enumerate(idx):
                 if sm["overflow"][row]:
                     retry.append(i)
                     continue
-                if not _lane_addressable(out["snap_x"], row):
+                if not _lane_addressable(snap_arr, row):
                     continue   # decoded by the owning process; synced below
-                snap_row = _fetch_lane(out["snap_x"], row,
-                                       out["snap_x"].shape[1])
+                if is_kernel:
+                    cnt = int(sm["snap_cnt"][row])
+                    snap_row = _fetch_lane(snap_arr, row, max(cnt, 1))
+                    segs[i] = tbk.decode_checkpoints_kernel(
+                        snap_row, int(out["anc"][row]), cnt,
+                        int(sm["last_ptr"][row]), spec)
+                    continue
+                snap_row = _fetch_lane(snap_arr, row, snap_arr.shape[1])
                 anc_row = _fetch_lane(out["snap_anc"], row,
                                       out["snap_anc"].shape[1])
                 segs[i] = tbk.decode_checkpoints(
@@ -233,7 +300,19 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
                 continue
             s_fin = int(sm["final_s"][row])
             cig = None
-            if opt.cigar and _lane_addressable(out["tb_bits"], row):
+            is_kernel = "kernel_cpw" in out
+            if opt.cigar and is_kernel and \
+                    _lane_addressable(out["tb_packed"], row):
+                from ..ops import wavefront_kernel as wk
+                pk_rows = _fetch_lane(out["tb_packed"], row, max(s_fin, 1))
+                tbl = wk.unpack_tb(pk_rows)
+                lo_rows = np.full((max(s_fin, 1),), int(out["anc"][row]),
+                                  np.int32)
+                cig = tbk.traceback_walk(opt, tbl, lo_rows, 0,
+                                         ts_list[i], qs_list[i], s_fin,
+                                         int(sm["last_state"][row]))
+            elif opt.cigar and not is_kernel and \
+                    _lane_addressable(out["tb_bits"], row):
                 rows = max(s_fin, 1)
                 tb_row = _fetch_lane(out["tb_bits"], row, rows)
                 anc_row = _fetch_lane(out["tb_anc"], row, rows)

@@ -81,3 +81,36 @@ def test_sharded_cigar_matches_single(goldens):
     for c, a, b in zip(cases, sharded, single):
         assert a.s == b.s, c["name"]
         assert a.cigar_str == b.cigar_str, c["name"]
+
+
+def test_sharded_kernel_matches_goldens(goldens, monkeypatch):
+    """The fused-cycle Pallas kernel under shard_map (interpret mode on
+    the virtual mesh): multi-chip deployments dispatch THIS engine per
+    device (parallel/batch.py:_run_sharded_kernel), so its sharded
+    results must match goldens in score, CIGAR and low-mem modes just
+    like the lax sharded path does."""
+    from miniwfa_tpu import Options
+    from miniwfa_tpu.parallel.batch import align_batch_sharded
+    from miniwfa_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("MWF_ENGINE", "kernel-interpret")
+    names = ["t3", "ins4", "mixed", "homopoly", "small7", "unrel5",
+             "identity4", "del4"]
+    cases = [(i, c) for i, c in enumerate(goldens["cases"])
+             if c["name"] in names]
+    pairs = [(c["t"], c["q"]) for _, c in cases]
+    mesh = make_mesh()
+
+    res = align_batch_sharded(pairs, Options(cigar=True), mesh, w0=1024)
+    exp = goldens["runs"]["cigar"]
+    for (i, c), r in zip(cases, res):
+        assert r.s == exp[i]["s"], c["name"]
+        assert r.cigar_str == exp[i]["cigar"], c["name"]
+
+    sub = [(i, c) for i, c in cases if c["name"] in ("t3", "small7")]
+    res = align_batch_sharded([(c["t"], c["q"]) for _, c in sub],
+                              Options(cigar=True, step=16), mesh, w0=1024)
+    exp = goldens["runs"]["lowmem_p16"]
+    for (i, c), r in zip(sub, res):
+        assert r.s == exp[i]["s"], c["name"]
+        assert r.cigar_str == exp[i]["cigar"], c["name"]
