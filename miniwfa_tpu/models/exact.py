@@ -384,7 +384,36 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
     idx = list(range(len(ts_list)))
     segs: List[Optional[Seg]] = [None] * len(ts_list)
     s_fin: List[int] = [0] * len(ts_list)
+    preflighted = False
     while idx:
+        if not preflighted and bk.W > 32768 and \
+                jax.default_backend() == "tpu":
+            # Wide-engine pass-1 territory: each laddered attempt drags
+            # multi-GB snapshot buffers and re-runs up to S_CAP cycles.
+            # Learn each lane's exact score with a score-only run (~2x
+            # cheaper per cycle, no snapshots) and size ONE real pass-1
+            # dispatch precisely: W >= band at termination (the band
+            # grows +-1/cycle from width 1, so <= 2s+1, plus the
+            # diagonal offset and ring padding), S_CAP = s + margin.
+            preflighted = True
+            sopt = opt.replace(cigar=False, step=0, max_s=0, max_iter=0)
+            sres = align_batch([(ts_list[i], qs_list[i]) for i in idx],
+                               sopt, w0=bk.W, s0=bk.S_CAP)
+            smax = max(r.s for r in sres)
+            for j, i in enumerate(idx):
+                s_fin[i] = sres[j].s
+            d_span = max(abs(len(qs_list[i]) - len(ts_list[i]))
+                         for i in idx)
+            w_need = 2 * smax + d_span + 4 * ns + 64
+            s_need = -(-(smax + 8) // 4096) * 4096
+            if w_need > w_cap:
+                raise RuntimeError(
+                    f"low-mem pass-1 band ({w_need}) exceeds the device "
+                    f"limit (cap {w_cap}) — use the chain or auto mode "
+                    f"for this pair, or the CPU backend")
+            bk = _Buckets(bk.B, bk.LT, bk.LQ,
+                          max(-(-w_need // 16384) * 16384, bk.W),
+                          min(s_need, bk.S_full), bk.W_full, bk.S_full)
         cap = _pass1_lane_cap(opt, bk)
         chunk, idx_rest = idx[:cap], idx[cap:]
         bk = _Buckets(_next_pow2(max(1, len(chunk))), bk.LT, bk.LQ, bk.W,
