@@ -109,6 +109,12 @@ class WSpec:
 
 
 def build_kernel_wide(spec: WSpec):
+    if spec.WR % CR:
+        raise ValueError(
+            f"WSpec.WR={spec.WR} must be a multiple of the staging chunk "
+            f"CR={CR} (W a multiple of {CR * 128})")
+    if spec.mode not in (MODE_SCORE, MODE_PASS1):
+        raise ValueError("wide engine serves MODE_SCORE and MODE_PASS1 only")
     WR, W = spec.WR, spec.W
     WRT = WR + 8             # padded rows so CRB loads at the top edge fit
     WPT = WRT * 128          # flat-pointer stride of snapshot planes
