@@ -96,36 +96,64 @@ def align_chain_batch(pairs: Sequence[Tuple[object, object]],
 
     out: List[Result] = []
     for pi, ((ts, qs), (kinds, x0, x1, y0, y1)) in enumerate(zip(enc, plans)):
-        s = 0
-        n_iter = 0
-        cig: Optional[List[int]] = [] if opt.cigar else None
-        for i in range(kinds.size):
-            kind = kinds[i]
-            dx, dy = int(x1[i] - x0[i]), int(y1[i] - y0[i])
-            if kind == K_EQ:
-                if cig is not None:
-                    C.push(cig, C.OP_EQ, dx)
-            elif kind == K_SKIP:
-                if cig is not None:
-                    C.push(cig, C.OP_D, dx)
-                    C.push(cig, C.OP_I, dy)
-                s += opt.o2 * 2 + opt.e2 * (dx + dy)
-            elif kind == K_ALIGN:
-                q = gap_map[(pi, i)]
-                if cig is not None and q.cigar is not None:
-                    C.extend(cig, q.cigar)
-                s += q.s
-                n_iter += q.n_iter
-            elif kind == K_DEL:
-                if cig is not None:
-                    C.push(cig, C.OP_D, dx)
-                s += opt.gap_cost(dx)
-            elif kind == K_INS:
-                if cig is not None:
-                    C.push(cig, C.OP_I, dy)
-                s += opt.gap_cost(dy)
-        out.append(Result(s=s, cigar=cig, n_iter=n_iter))
+        out.append(_assemble_pair(opt, pi, kinds, x1 - x0, y1 - y0, gap_map))
     return out
+
+
+def _assemble_pair(opt: Options, pi: int, kinds, dx, dy, gap_map) -> Result:
+    """Vectorized score + CIGAR splice over a pair's segment plan.
+
+    A 5 Mb pair has ~4M segments (mostly same-diagonal '=' runs between
+    adjacent anchors), so the reference's per-segment walk
+    (miniwfa.c:861-891) must not become a per-segment Python loop here:
+    scores reduce with numpy masks, and the CIGAR is built by scattering
+    every segment's packed runs at precomputed offsets, then one
+    run-merge pass (equal-op grouping == sequential push/extend)."""
+    m_eq = kinds == K_EQ
+    m_skip = kinds == K_SKIP
+    m_del = kinds == K_DEL
+    m_ins = kinds == K_INS
+    m_al = kinds == K_ALIGN
+
+    def gap_cost(ln):
+        return np.minimum(opt.o1 + ln * opt.e1, opt.o2 + ln * opt.e2)
+
+    s = int(opt.o2 * 2 * m_skip.sum()
+            + opt.e2 * (dx[m_skip].sum() + dy[m_skip].sum())
+            + gap_cost(dx[m_del]).sum() + gap_cost(dy[m_ins]).sum())
+    aidx = np.nonzero(m_al)[0]
+    ares = [gap_map[(pi, int(i))] for i in aidx]
+    s += sum(r.s for r in ares)
+    n_iter = sum(r.n_iter for r in ares)
+    if not opt.cigar:
+        return Result(s=s, cigar=None, n_iter=n_iter)
+
+    # per-segment emitted-run counts: EQ/DEL/INS -> 1, SKIP -> 2 (D then
+    # I), ALIGN -> len(sub-cigar), NONE -> 0
+    n_seg = kinds.size
+    cnt = np.zeros(n_seg, np.int64)
+    cnt[m_eq | m_del | m_ins] = 1
+    cnt[m_skip] = 2
+    acigs = [np.asarray(r.cigar if r.cigar is not None else [], np.int64)
+             for r in ares]
+    cnt[aidx] = [a.size for a in acigs]
+    off_all = np.concatenate([[0], np.cumsum(cnt)])
+    off = off_all[:-1]                     # start offset per segment
+    flat = np.zeros(int(off_all[-1]), np.int64)
+    flat[off[m_eq]] = (dx[m_eq] << 4) | C.OP_EQ
+    flat[off[m_del]] = (dx[m_del] << 4) | C.OP_D
+    flat[off[m_ins]] = (dy[m_ins] << 4) | C.OP_I
+    flat[off[m_skip]] = (dx[m_skip] << 4) | C.OP_D
+    flat[off[m_skip] + 1] = (dy[m_skip] << 4) | C.OP_I
+    for i, a in zip(aidx, acigs):          # ~#gaps, not #segments
+        flat[off[i]:off[i] + a.size] = a
+    flat = flat[(flat >> 4) > 0]           # drop zero-length runs (push)
+    if flat.size:
+        ops = flat & 0xF
+        b = np.nonzero(np.concatenate([[True], ops[1:] != ops[:-1]]))[0]
+        lens = np.add.reduceat(flat >> 4, b)
+        flat = (lens << 4) | ops[b]
+    return Result(s=s, cigar=[int(v) for v in flat], n_iter=n_iter)
 
 
 def align_chain(ts, qs, opt: Options) -> Result:
