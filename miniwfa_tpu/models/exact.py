@@ -578,6 +578,14 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 cig = tbk.traceback_walk(opt, tb_bits[j], tb_lo[j], 0,
                                          ts_list[i], qs_list[i], s,
                                          int(last_state[j]))
+            if cig is not None and os.environ.get("MWF_VALIDATE"):
+                # runtime self-validation on every alignment (the
+                # reference's per-pair oracle, main.c:72 / mwf-dbg.c):
+                # CIGAR must consume exactly (tl, ql), re-score to s,
+                # and '='/'X' runs must match the actual bases
+                from .. import cigar as _C
+                _C.assert_cigar(opt, cig, len(ts_list[i]), len(qs_list[i]),
+                                s, ts_list[i], qs_list[i])
             results[i] = Result(s=s, cigar=cig, n_iter=n_iter)
         if retry:
             ovf_b = np.asarray(out["ovf_band"])[: len(idx)]
