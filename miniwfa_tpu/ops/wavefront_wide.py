@@ -503,6 +503,15 @@ def build_kernel_wide(spec: WSpec):
             z32 = jnp.int32(0)
             term_i, zero_i, ptr, stuck_i = lax.fori_loop(
                 e0, e1_, ext_chunk, (z32, z32, jnp.int32(NEG), z32))
+            # drain BOTH parities before the next sweep: its staged TOP
+            # reads carry an 8-row halo into the neighbouring chunk, so a
+            # still-flying G_TH writeback on the other parity could race
+            # the read (DMAs on different channels have no issue-order
+            # guarantee).  Within a sweep the halo is safe — chunk i+1's
+            # rows haven't been written yet — the hazard is only across
+            # sweep boundaries.
+            drain(0, snc)
+            drain(1, snc)
             term = term_i != 0
             ovf = ovf | (stuck_i != 0)
 
