@@ -568,8 +568,10 @@ def build_kernel_wide(spec: WSpec):
                     outs += [G_S0 + k for k in range(5)]
                 return outs
 
-            def stage_trans_in(pb, ro, snc_r):
-                """Start + return the in-copies the transition needs."""
+            def trans_in_descs(pb, ro, snc_r):
+                """Descriptors of the in-copies the transition needs
+                (start and wait are the caller's: waits may reconstruct
+                the same-shape descriptor, they count semaphore bytes)."""
                 cps = [pltpu.make_async_copy(
                     top_ref.at[b, :, pl.ds(ro, CRB)], sTOP.at[pb],
                     semi.at[pb, G_TOP])]
@@ -586,9 +588,29 @@ def build_kernel_wide(spec: WSpec):
                 cps.append(pltpu.make_async_copy(
                     va_ref.at[b, :, pl.ds(ro, CR)], sVA.at[pb],
                     semi.at[pb, G_VA]))
-                for cp in cps:
-                    cp.start()
                 return cps
+
+            def stage_trans_start(pb, ro, snc_r):
+                for cp in trans_in_descs(pb, ro, snc_r):
+                    cp.start()
+
+            def stage_trans_wait(pb, ro, snc_r):
+                for cp in trans_in_descs(pb, ro, snc_r):
+                    cp.wait()
+
+            def prefetch_next(ci, hi_c, snc_r):
+                """Software pipeline: drain the other parity and start
+                chunk ci+1's in-copies while chunk ci computes.  Safe:
+                ci+1's reads ([ro+CR, ro+CR+CRB)) are disjoint from
+                ci's writebacks ([ro, ro+CR)) and ci-1's ([ro-CR, ro));
+                the staged ring slots (ages>=2) are never the slot
+                retire writes (slot collision freedom, header)."""
+                nxt = ci + 1
+
+                @pl.when(nxt < hi_c)
+                def _():
+                    drain(nxt & 1, snc_r)
+                    stage_trans_start(nxt & 1, nxt * CR, snc_r)
 
             def lb(kind, i, pb, DDb):
                 """Masked [CRB,128] source block for SRC[i]."""
@@ -691,14 +713,19 @@ def build_kernel_wide(spec: WSpec):
                     neg_row, neg_row, neg_row, neg_row)
 
             if not is_p1:
-                # --- fused retire + transition sweep (score mode)
+                # --- fused retire + transition sweep (score mode),
+                # software-pipelined: chunk ci+1's in-DMAs fly while
+                # chunk ci computes
+                @pl.when(s0c < s1c)
+                def _():
+                    drain(s0c & 1, snc)
+                    stage_trans_start(s0c & 1, s0c * CR, snc)
+
                 def fused_chunk(ci, car):
                     pb = ci & 1
                     ro = ci * CR
-                    drain(pb, snc)
-                    cps = stage_trans_in(pb, ro, snc)
-                    for cp in cps:
-                        cp.wait()
+                    stage_trans_wait(pb, ro, snc)
+                    prefetch_next(ci, s1c, snc)
                     DDc = DDW + ro * 128
                     in_top = (DDc >= t_lo) & (DDc <= t_hi)
                     outs = retire_block(pb, ro, in_top, DDc)
@@ -787,13 +814,16 @@ def build_kernel_wide(spec: WSpec):
 
                     lax.fori_loop(f0, f1, fresh_chunk, 0)
 
+                @pl.when(s0c < s1c)
+                def _():
+                    drain(s0c & 1, snc2)
+                    stage_trans_start(s0c & 1, s0c * CR, snc2)
+
                 def trans_chunk(ci, car):
                     pb = ci & 1
                     ro = ci * CR
-                    drain(pb, snc2)
-                    cps = stage_trans_in(pb, ro, snc2)
-                    for cp in cps:
-                        cp.wait()
+                    stage_trans_wait(pb, ro, snc2)
+                    prefetch_next(ci, s1c, snc2)
                     car = trans_block(pb, ro, car)
                     start_out(G_TOP, pb, ro, snc2)
                     return car
