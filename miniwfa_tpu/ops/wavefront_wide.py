@@ -458,27 +458,39 @@ def build_kernel_wide(spec: WSpec):
             # --- 1. extension sweep (miniwfa.c:400-411) + termination
             e0, e1_ = chunk_range(t_lo, t_hi, False)
 
+            def ext_in_descs(pb, ro):
+                cps = [pltpu.make_async_copy(
+                    top_ref.at[b, T_H, pl.ds(ro, CR)],
+                    sTOP.at[pb, T_H, pl.ds(0, CR)], semi.at[pb, G_TH]),
+                    pltpu.make_async_copy(
+                    es_ref.at[b, :, pl.ds(ro, CR)], sES.at[pb],
+                    semi.at[pb, G_ES])]
+                if is_p1:
+                    cps.append(pltpu.make_async_copy(
+                        top_ref.at[b, S_H, pl.ds(ro, CR)],
+                        sTOP.at[pb, S_H, pl.ds(0, CR)], semi.at[pb, G_SH]))
+                return cps
+
+            @pl.when(e0 < e1_)
+            def _():
+                drain(e0 & 1, snc)
+                for cp in ext_in_descs(e0 & 1, e0 * CR):
+                    cp.start()
+
             def ext_chunk(ci, car):
                 term_a, zero_a, ptr_a, stuck_a = car
                 pb = ci & 1
                 ro = ci * CR
-                drain(pb, snc)
-                cph = pltpu.make_async_copy(
-                    top_ref.at[b, T_H, pl.ds(ro, CR)],
-                    sTOP.at[pb, T_H, pl.ds(0, CR)], semi.at[pb, G_TH])
-                cpe = pltpu.make_async_copy(
-                    es_ref.at[b, :, pl.ds(ro, CR)], sES.at[pb],
-                    semi.at[pb, G_ES])
-                cph.start()
-                cpe.start()
-                if is_p1:
-                    cpsh = pltpu.make_async_copy(
-                        top_ref.at[b, S_H, pl.ds(ro, CR)],
-                        sTOP.at[pb, S_H, pl.ds(0, CR)], semi.at[pb, G_SH])
-                    cpsh.start()
-                    cpsh.wait()
-                cph.wait()
-                cpe.wait()
+                for cp in ext_in_descs(pb, ro):
+                    cp.wait()
+                nxt = ci + 1
+
+                @pl.when(nxt < e1_)
+                def _():
+                    drain(nxt & 1, snc)
+                    for cp in ext_in_descs(nxt & 1, nxt * CR):
+                        cp.start()
+
                 DDc = DDW + ro * 128
                 k_old = sTOP[pb, T_H, pl.ds(0, CR)]
                 in_top = (DDc >= t_lo) & (DDc <= t_hi)
