@@ -751,20 +751,33 @@ def build_kernel_wide(spec: WSpec):
                 # --- pass 1: retire sweep | snapshot | transition sweep
                 # (the serialization must land between them,
                 # miniwfa.c:585-587)
+                def ret_in_descs(pb, ro):
+                    return [pltpu.make_async_copy(
+                        top_ref.at[b, :, pl.ds(ro, CRB)], sTOP.at[pb],
+                        semi.at[pb, G_TOP]),
+                        pltpu.make_async_copy(
+                        va_ref.at[b, :, pl.ds(ro, CR)], sVA.at[pb],
+                        semi.at[pb, G_VA])]
+
+                @pl.when(s0c < s1c)
+                def _():
+                    drain(s0c & 1, snc)
+                    for cp in ret_in_descs(s0c & 1, s0c * CR):
+                        cp.start()
+
                 def ret_chunk(ci, car_):
                     pb = ci & 1
                     ro = ci * CR
-                    drain(pb, snc)
-                    cpt = pltpu.make_async_copy(
-                        top_ref.at[b, :, pl.ds(ro, CRB)], sTOP.at[pb],
-                        semi.at[pb, G_TOP])
-                    cpv = pltpu.make_async_copy(
-                        va_ref.at[b, :, pl.ds(ro, CR)], sVA.at[pb],
-                        semi.at[pb, G_VA])
-                    cpt.start()
-                    cpv.start()
-                    cpt.wait()
-                    cpv.wait()
+                    for cp in ret_in_descs(pb, ro):
+                        cp.wait()
+                    nxt = ci + 1
+
+                    @pl.when(nxt < s1c)
+                    def _():
+                        drain(nxt & 1, snc)
+                        for cp in ret_in_descs(nxt & 1, nxt * CR):
+                            cp.start()
+
                     DDc = DDW + ro * 128
                     in_top = (DDc >= t_lo) & (DDc <= t_hi)
                     outs = retire_block(pb, ro, in_top, DDc)
