@@ -220,8 +220,9 @@ def _run_device_wide(opt: Options, mode: int, bk: _Buckets,
     twq = wk.pack_table(pad_q, cpw, spec.nseg)
     interp = os.environ.get("MWF_ENGINE") in ("kernel-interpret",
                                               "wide-interpret")
-    fn = ww.get_kernel_wide(spec, interpret=interp)
-    out = dict(fn(scal, twt, twq))
+    # chunked resumable dispatch: no single device call may outlive the
+    # TPU worker's ~1 min execution watchdog (ww.run_chunked notes)
+    out = dict(ww.run_chunked(spec, scal, twt, twq, interpret=interp))
     out["kernel_cpw"] = cpw
     out["anc"] = scal[:, wk.SC_ANC]
     # the kspec twin carries every field the checkpoint decoder reads

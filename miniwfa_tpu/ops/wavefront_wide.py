@@ -51,7 +51,11 @@ VMEM engine.  Sequence capacity matches the segmented word tables
 from __future__ import annotations
 
 import functools
+import math
+import os
 from dataclasses import dataclass
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +73,40 @@ from .wavefront_kernel import (
 
 CR = 128          # staging chunk rows (== NTAB: the refill gather width)
 CRB = CR + 8      # chunk rows + p-side halo
+
+# ---- resumable-call protocol (run_chunked) ------------------------------
+# The axon-tunnelled TPU worker kills any single device call that runs
+# longer than ~1 minute (measured: every wide-kernel call under ~55 s of
+# device time completes; 4 sequential lanes of a passing 27 s workload in
+# one call reproducibly kill the worker).  A 5 Mb alignment is minutes of
+# device time, so the kernel is resumable: all DP planes already live in
+# HBM output buffers, which run_chunked feeds back as aliased inputs, and
+# the scalar machine state crosses the boundary through extra scal
+# columns (in) and out-row columns (out).  Each call executes cycles
+# t in [RS_T, RS_LIM) and pauses at a clean cycle boundary.
+RS_FLAG = 3       # 0 = fresh lane (init sweep), 1 = resume saved state
+RS_LIM = 4        # run while t < RS_LIM (this call's cycle budget)
+RS_T = 5
+RS_WLO, RS_WHI, RS_TLO, RS_THI = 6, 7, 8, 9
+RS_NLO, RS_NHI, RS_LP, RS_SNC = 10, 11, 12, 13
+RS_BND = 14       # band registry: bnd_lo[DH] then bnd_hi[DH]
+
+OW_T, OW_WLO, OW_WHI, OW_TLO, OW_THI, OW_PAUSE = (
+    O_N, O_N + 1, O_N + 2, O_N + 3, O_N + 4, O_N + 5)
+OW_BND = O_N + 6
+
+
+def _ring_dh(spec) -> int:
+    ages = _ages(spec)
+    return max(ages["x"], ages["o1"], ages["o2"])
+
+
+def scal_width(spec) -> int:
+    return RS_BND + 2 * _ring_dh(spec)
+
+
+def out_width(spec) -> int:
+    return OW_BND + 2 * _ring_dh(spec)
 
 
 @dataclass(frozen=True)
@@ -180,8 +218,13 @@ def build_kernel_wide(spec: WSpec):
         carry = jnp.concatenate([a[1:, :], nxt], 0)[:, 0:1]
         return jnp.where(iota2(CR, 1) == 127, carry, right)
 
-    def kernel(scal_ref, twt_ref, twq_ref, out_ref,
-               rng_ref, top_ref, es_ref, va_ref, *refs):
+    def kernel(scal_ref, twt_ref, twq_ref, *refs):
+        # the first 4 (5 in pass 1) refs are the aliased state inputs —
+        # same memory as the corresponding outputs, so all reads/writes
+        # go through the output refs and these are never touched
+        refs = refs[5 if is_p1 else 4:]
+        out_ref, rng_ref, top_ref, es_ref, va_ref = refs[:5]
+        refs = refs[5:]
         if is_p1:
             snap_ref = refs[0]
             refs = refs[1:]
@@ -195,10 +238,15 @@ def build_kernel_wide(spec: WSpec):
         anc = scal_ref[b, SC_ANC]
         d_end = ql - tl
 
-        # ---- per-lane init
+        # ---- per-lane init, or resume-state restore (run_chunked)
+        resume = scal_ref[b, RS_FLAG]
+        t_lim = scal_ref[b, RS_LIM]
         for j in range(DH):
-            bnd_lo[j] = 1
-            bnd_hi[j] = 0
+            bnd_lo[j] = jnp.where(resume != 0, scal_ref[b, RS_BND + j],
+                                  jnp.int32(1))
+            bnd_hi[j] = jnp.where(resume != 0,
+                                  scal_ref[b, RS_BND + DH + j],
+                                  jnp.int32(0))
         pend[0] = 0
         pend[1] = 0
         cp0 = pltpu.make_async_copy(twt_ref.at[b, 0], twtv, semi.at[0, 0])
@@ -246,7 +294,9 @@ def build_kernel_wide(spec: WSpec):
             cpt.wait()
             return 0
 
-        lax.fori_loop(0, NCH, init_chunk, 0)
+        @pl.when(resume == 0)
+        def _():
+            lax.fori_loop(0, NCH, init_chunk, 0)
 
         # ---- staging plumbing.  Sweeps walk chunks low->high; chunk
         # i's writebacks cover rows [ro, ro+CR) and chunk i+1 stages
@@ -918,14 +968,20 @@ def build_kernel_wide(spec: WSpec):
 
         def cond(carry):
             t, done, stopped, ovf = carry[0], carry[5], carry[6], carry[7]
-            return (done + stopped + ovf == 0) & (t < spec.S_CAP - 1)
+            return (done + stopped + ovf == 0) & (t < spec.S_CAP - 1) \
+                & (t < t_lim)
+
+        def rcol(col, dflt):
+            return jnp.where(resume != 0, scal_ref[b, col],
+                             jnp.int32(dflt))
 
         z = jnp.int32(0)
-        carry = (z, z, z, z, z, z, z, z,
-                 jnp.int32(-1), z, z,
-                 jnp.int32(WF_NEG_INF), z)
+        carry = (rcol(RS_T, 0), rcol(RS_WLO, 0), rcol(RS_WHI, 0),
+                 rcol(RS_TLO, 0), rcol(RS_THI, 0), z, z, z,
+                 jnp.int32(-1), rcol(RS_NLO, 0), rcol(RS_NHI, 0),
+                 rcol(RS_LP, WF_NEG_INF), rcol(RS_SNC, 0))
         carry = lax.while_loop(cond, cycle, carry)
-        (t, _, _, _, _, done_i, stopped_i, ovf_i,
+        (t, wf_lo, wf_hi, t_lo, t_hi, done_i, stopped_i, ovf_i,
          final_s, n_lo, n_hi, lp, snc) = carry
         done, stopped, ovf = done_i != 0, stopped_i != 0, ovf_i != 0
         alive = ~(done | stopped | ovf)
@@ -933,16 +989,30 @@ def build_kernel_wide(spec: WSpec):
         out_ref[b, O_DONE] = done.astype(jnp.int32)
         out_ref[b, O_STOP] = stopped.astype(jnp.int32)
         out_ref[b, O_OVFB] = ovf.astype(jnp.int32)
-        out_ref[b, O_OVFS] = alive.astype(jnp.int32)
+        # S_CAP genuinely exhausted vs paused on this call's budget
+        out_ref[b, O_OVFS] = \
+            (alive & (t >= spec.S_CAP - 1)).astype(jnp.int32)
         out_ref[b, O_LS] = 0
         out_ref[b, O_NLO] = n_lo
         out_ref[b, O_NHI] = n_hi
         out_ref[b, O_LP] = lp
         out_ref[b, O_SNC] = snc
+        out_ref[b, OW_T] = t
+        out_ref[b, OW_WLO] = wf_lo
+        out_ref[b, OW_WHI] = wf_hi
+        out_ref[b, OW_TLO] = t_lo
+        out_ref[b, OW_THI] = t_hi
+        out_ref[b, OW_PAUSE] = \
+            (alive & (t < spec.S_CAP - 1)).astype(jnp.int32)
+        for j in range(DH):
+            out_ref[b, OW_BND + j] = bnd_lo[j]
+            out_ref[b, OW_BND + DH + j] = bnd_hi[j]
 
-    # ---- pallas_call plumbing
+    # ---- pallas_call plumbing.  State buffers (ring/top/es/va[/snap])
+    # are inputs ALIASED to the corresponding outputs: a resumed call
+    # continues in the previous call's HBM planes in place.
     out_shapes = [
-        jax.ShapeDtypeStruct((spec.B, O_N), jnp.int32),
+        jax.ShapeDtypeStruct((spec.B, out_width(spec)), jnp.int32),
         jax.ShapeDtypeStruct((spec.B, NRING, WRT, 128), jnp.int32),
         jax.ShapeDtypeStruct((spec.B, NTOP, WRT, 128), jnp.int32),
         jax.ShapeDtypeStruct((spec.B, 6, WRT, 128), jnp.int32),
@@ -954,6 +1024,7 @@ def build_kernel_wide(spec: WSpec):
         out_shapes.append(jax.ShapeDtypeStruct(
             (spec.B, spec.n_snap + 1, NRING, WRT, 128), jnp.int32))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    n_state = 5 if is_p1 else 4
 
     scratch = [
         pltpu.VMEM((2, NTOP, CRB, 128), jnp.int32),    # sTOP
@@ -981,50 +1052,149 @@ def build_kernel_wide(spec: WSpec):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(spec.B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 + n_state),
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )
+    # flat input order: scal(0), twt(1), twq(2), state(3..); state input
+    # i aliases output 1+i (output 0 is the SMEM scalar row)
+    aliases = {3 + i: 1 + i for i in range(n_state)}
 
-    def call(scal, twt, twq, *, interpret=False):
+    def call(scal, twt, twq, *state, interpret=False):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=tuple(out_shapes),
+            input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(scal, twt, twq)
+        )(scal, twt, twq, *state)
 
     return call
 
 
 @functools.lru_cache(maxsize=16)
-def get_kernel_wide(spec: WSpec, interpret: bool = False):
-    """Jitted wide-band aligner; same output contract as the VMEM
-    engine's SCORE/PASS1 modes (wavefront_kernel.get_kernel)."""
+def _get_call(spec: WSpec, interpret: bool = False):
+    """Raw resumable call: (scal, twt, twq, *state) -> (out, *state').
+    State buffers are donated (they alias the outputs in-kernel)."""
     call = build_kernel_wide(spec)
-    is_p1 = spec.mode == MODE_PASS1
+    n_state = 5 if spec.mode == MODE_PASS1 else 4
+
+    def f(scal, twt, twq, *state):
+        return call(scal, twt, twq, *state, interpret=interpret)
+
+    if interpret:
+        return f
+    return jax.jit(f, donate_argnums=tuple(range(3, 3 + n_state)))
+
+
+def _zero_state(spec: WSpec):
     NRING = snapshot_layout(spec.kspec())[5]
     WRT = spec.WR + 8
+    NTOP = 10 if spec.mode == MODE_PASS1 else 5
+    st = [jnp.zeros((spec.B, NRING, WRT, 128), jnp.int32),
+          jnp.zeros((spec.B, NTOP, WRT, 128), jnp.int32),
+          jnp.zeros((spec.B, 6, WRT, 128), jnp.int32),
+          jnp.zeros((spec.B, 2, WRT, 128), jnp.int32)]
+    if spec.mode == MODE_PASS1:
+        st.append(jnp.zeros(
+            (spec.B, spec.n_snap + 1, NRING, WRT, 128), jnp.int32))
+    return st
+
+
+def _pad_scal(spec: WSpec, scal) -> np.ndarray:
+    """Widen a (B, >=3) tl/ql/anc scal to the full resume-column layout
+    with fresh-run defaults (RS_FLAG=0, RS_LIM=S_CAP)."""
+    scal = np.asarray(scal, np.int32)
+    if scal.shape[1] >= scal_width(spec):
+        return scal
+    full = np.zeros((spec.B, scal_width(spec)), np.int32)
+    full[:, :scal.shape[1]] = scal
+    full[:, RS_LIM] = spec.S_CAP
+    return full
+
+
+def _res_dict(spec: WSpec, o: np.ndarray, snap) -> dict:
+    res = dict(
+        final_s=o[:, O_S], done=o[:, O_DONE] != 0,
+        stopped=o[:, O_STOP] != 0, ovf_band=o[:, O_OVFB] != 0,
+        ovf_scap=o[:, O_OVFS] != 0,
+        overflow=(o[:, O_OVFB] != 0) | (o[:, O_OVFS] != 0),
+        last_state=o[:, O_LS], n_iter_lo=o[:, O_NLO],
+        n_iter_hi=o[:, O_NHI])
+    if spec.mode == MODE_PASS1:
+        NRING = snapshot_layout(spec.kspec())[5]
+        WRT = spec.WR + 8
+        res["snap"] = snap.reshape(
+            spec.B, spec.n_snap + 1, NRING * WRT * 128)
+        res["snap_cnt"] = o[:, O_SNC]
+        res["last_ptr"] = o[:, O_LP]
+    return res
+
+
+def get_kernel_wide(spec: WSpec, interpret: bool = False):
+    """Single-call wide-band aligner (fresh run, full cycle budget);
+    same output contract as the VMEM engine's SCORE/PASS1 modes.  On the
+    tunnelled TPU prefer run_chunked — one call over ~1 min of device
+    time trips the worker watchdog."""
+    call = _get_call(spec, interpret)
 
     def run(scal, twt, twq):
-        outs = call(scal, twt, twq, interpret=interpret)
-        o = outs[0]
-        res = dict(
-            final_s=o[:, O_S], done=o[:, O_DONE] != 0,
-            stopped=o[:, O_STOP] != 0, ovf_band=o[:, O_OVFB] != 0,
-            ovf_scap=o[:, O_OVFS] != 0,
-            overflow=(o[:, O_OVFB] != 0) | (o[:, O_OVFS] != 0),
-            last_state=o[:, O_LS], n_iter_lo=o[:, O_NLO],
-            n_iter_hi=o[:, O_NHI])
-        if is_p1:
-            res["snap"] = outs[5].reshape(
-                spec.B, spec.n_snap + 1, NRING * WRT * 128)
-            res["snap_cnt"] = o[:, O_SNC]
-            res["last_ptr"] = o[:, O_LP]
-        return res
+        outs = call(jnp.asarray(_pad_scal(spec, scal)), twt, twq,
+                    *_zero_state(spec))
+        o = np.asarray(outs[0])
+        return _res_dict(spec, o, outs[5] if spec.mode == MODE_PASS1
+                         else None)
 
-    return run if interpret else jax.jit(run)
+    return run
+
+
+def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
+                budget_cells: float = 0.0, budget_cycles: int = 0) -> dict:
+    """Resumable host loop: dispatch the alignment in bounded score
+    chunks so no single device call outlives the worker watchdog (see
+    the RS_* protocol notes above).  Per-call budgets are split across
+    the lanes still live (grid lanes run sequentially); the cycle limit
+    for a lane at score t with cell budget c is sqrt(t^2 + c) — the band
+    grows ~2 diagonals/cycle, so cells(t0->t1) ~ t1^2 - t0^2."""
+    no_watchdog = interpret or jax.default_backend() != "tpu"
+    budget_cells = budget_cells or (
+        (1 << 60) if no_watchdog else float(
+            os.environ.get("MWF_WIDE_CELLS_PER_CALL", 1.0e10)))
+    budget_cycles = budget_cycles or (
+        (1 << 60) if no_watchdog else int(
+            os.environ.get("MWF_WIDE_CYCLES_PER_CALL", 49152)))
+    fn = _get_call(spec, interpret)
+    DH = _ring_dh(spec)
+    full = _pad_scal(spec, scal)
+    state = _zero_state(spec)
+    live = np.ones(spec.B, bool)
+    final = np.zeros((spec.B, out_width(spec)), np.int32)
+    while True:
+        n_act = max(1, int(live.sum()))
+        cyc = max(1, int(budget_cycles) // n_act)
+        cells = budget_cells / n_act
+        t_now = full[:, RS_T].astype(np.int64)
+        t_lim = t_now + np.maximum(
+            1, np.minimum(cyc, (np.sqrt(t_now.astype(np.float64) ** 2
+                                        + cells) - t_now) + 1
+                          ).astype(np.int64))
+        full[:, RS_LIM] = np.where(
+            live, np.minimum(t_lim, spec.S_CAP), 0).astype(np.int32)
+        outs = fn(jnp.asarray(full), twt, twq, *state)
+        o = np.asarray(outs[0])
+        state = list(outs[1:])
+        final[live] = o[live]
+        live = live & (o[:, OW_PAUSE] != 0)
+        if not live.any():
+            break
+        full[:, RS_FLAG] = 1
+        for col_in, col_out in ((RS_T, OW_T), (RS_WLO, OW_WLO),
+                                (RS_WHI, OW_WHI), (RS_TLO, OW_TLO),
+                                (RS_THI, OW_THI), (RS_NLO, O_NLO),
+                                (RS_NHI, O_NHI), (RS_LP, O_LP),
+                                (RS_SNC, O_SNC)):
+            full[:, col_in] = o[:, col_out]
+        full[:, RS_BND:RS_BND + 2 * DH] = o[:, OW_BND:OW_BND + 2 * DH]
+    return _res_dict(spec, final,
+                     state[4] if spec.mode == MODE_PASS1 else None)
