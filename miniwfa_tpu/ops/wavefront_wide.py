@@ -1158,9 +1158,12 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
     for a lane at score t with cell budget c is sqrt(t^2 + c) — the band
     grows ~2 diagonals/cycle, so cells(t0->t1) ~ t1^2 - t0^2."""
     no_watchdog = interpret or jax.default_backend() != "tpu"
+    # pass 1 moves ~2x the bytes per cell (sf shadow staging + split
+    # retire/transition sweeps): halve its per-call cell budget
+    dflt_cells = 5.0e9 if spec.mode == MODE_PASS1 else 1.0e10
     budget_cells = budget_cells or (
         (1 << 60) if no_watchdog else float(
-            os.environ.get("MWF_WIDE_CELLS_PER_CALL", 1.0e10)))
+            os.environ.get("MWF_WIDE_CELLS_PER_CALL", dflt_cells)))
     budget_cycles = budget_cycles or (
         (1 << 60) if no_watchdog else int(
             os.environ.get("MWF_WIDE_CYCLES_PER_CALL", 49152)))
