@@ -268,7 +268,8 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
         # cpw=16) is coarse enough that jit sharing is unaffected
         nseg=wk.nseg_for(
             max([len(s) for s in ts_list] + [len(s) for s in qs_list],
-                default=0), cpw))
+                default=0), cpw),
+        cr=int(os.environ.get("MWF_KERNEL_CR", "8")))
     pad_t = ts_list + [b""] * (B - n)
     pad_q = qs_list + [b""] * (B - n)
     nsc = wk.SC_SEG + 2 * seg_cap

@@ -51,7 +51,6 @@ VMEM engine.  Sequence capacity matches the segmented word tables
 from __future__ import annotations
 
 import functools
-import math
 import os
 from dataclasses import dataclass
 
