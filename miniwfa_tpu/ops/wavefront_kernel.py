@@ -137,7 +137,7 @@ class KSpec:
         c = self.cr
         if c > self.WR or self.WR % c or c % 4:
             c = 8
-        return min(c, 64)
+        return min(c, NTAB)  # refill gathers pad row-blocks to NTAB rows
 
     @property
     def max_len(self) -> int:
@@ -418,6 +418,8 @@ def build_kernel(spec: KSpec):
             twq = twqv[:]
 
             def lanes(a):   # [CR,1] block ids -> [NTAB,1] padded
+                if CR == NTAB:   # zero-row pads are invalid Mosaic vectors
+                    return a
                 return jnp.concatenate(
                     [a, jnp.zeros((NTAB - CR, 1), jnp.int32)], 0)
 
