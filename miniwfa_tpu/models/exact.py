@@ -435,6 +435,19 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
         last_ptr = np.asarray(out["last_ptr"])
         fs = np.asarray(out["final_s"])
         anc_np = np.asarray(out["anc"]) if "kernel_cpw" in out else None
+        ptr_fin = ptr_recs = None
+        if "kernel_cpw" in out:
+            # pointer-jump the snapshot chains ON DEVICE and fetch only
+            # the per-snapshot pointers (a few ints/lane) — the rows
+            # themselves are multi-MB each at 100 kb-5 Mb scale
+            from ..ops import traceback_device as tbd
+            nb = int(out["snap"].shape[0])
+            live = np.zeros(nb, bool)
+            live[: len(idx)] = ~ovf
+            cnts = np.where(live, snap_cnt[:nb], 0)
+            l0 = np.where(live, last_ptr[:nb], -1)
+            ptr_fin, ptr_recs = tbd.chain_ptrs_on_device(
+                out["snap"], l0, cnts)
         snap_x = None
         retry = []
         for j, i in enumerate(idx):
@@ -443,10 +456,9 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
                 continue
             s_fin[i] = int(fs[j])
             if "kernel_cpw" in out:
-                cnt = int(snap_cnt[j])
-                sx = np.asarray(jax.device_get(out["snap"][j, :max(cnt, 1)]))
-                segs[i] = tbk.decode_checkpoints_kernel(
-                    sx, int(anc_np[j]), cnt, int(last_ptr[j]), spec)
+                segs[i] = tbk.decode_checkpoints_ptrs(
+                    ptr_recs[:, j], int(ptr_fin[j]), int(anc_np[j]),
+                    int(snap_cnt[j]), spec)
                 continue
             if snap_x is None:
                 snap_x = np.asarray(jax.device_get(out["snap_x"]))
@@ -545,6 +557,28 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         is_kernel = "kernel_cpw" in out
         anc_np = np.asarray(out["anc"]) if is_kernel else None
         tb_bits = tb_lo = None
+        walk_cigs = None
+        if opt.cigar and is_kernel and \
+                not os.environ.get("MWF_NO_DEVICE_WALK"):
+            # kernel results have a constant window anchor: walk the
+            # HBM-resident packed tb buffers on-device — ALL lanes in
+            # one vmapped call — and fetch only the runs (the buffers
+            # are ~GBs at 100kb-5Mb scale; B sequential walks would pay
+            # B tunnel round-trips)
+            from ..ops import traceback_device as tbd
+            nb = int(out["tb_packed"].shape[0])
+            fsb = np.asarray(out["final_s"])[:nb]
+            skip = [j >= len(idx) or bool(ovf[j]) or bool(stopped[j])
+                    for j in range(nb)]
+            walk_cigs = tbd.walk_batch_on_device(
+                out["tb_packed"], anc_np[:nb],
+                [ts_list[idx[j]] if j < len(idx) else b""
+                 for j in range(nb)],
+                [qs_list[idx[j]] if j < len(idx) else b""
+                 for j in range(nb)],
+                np.where(skip, 0, fsb), last_state[:nb],
+                out["kernel_cpw"],
+                (opt.x, opt.o1, opt.e1, opt.o2, opt.e2), skip=skip)
         retry = []
         for j, i in enumerate(idx):
             if ovf[j]:
@@ -556,16 +590,8 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 continue
             s = int(final_s[j])
             cig = None
-            if opt.cigar and is_kernel and \
-                    not os.environ.get("MWF_NO_DEVICE_WALK"):
-                # kernel results have a constant window anchor: walk the
-                # HBM-resident packed tb buffer on-device and fetch only
-                # the runs (the buffer is ~GBs at 100kb-5Mb scale)
-                from ..ops import traceback_device as tbd
-                cig = tbd.walk_on_device(
-                    out["tb_packed"][j], int(anc_np[j]), ts_list[i],
-                    qs_list[i], s, int(last_state[j]), out["kernel_cpw"],
-                    (opt.x, opt.o1, opt.e1, opt.o2, opt.e2))
+            if walk_cigs is not None:
+                cig = walk_cigs[j]
             elif opt.cigar and is_kernel:
                 # host walk over the unpacked rows (debug/fallback path)
                 from ..ops import wavefront_kernel as wk

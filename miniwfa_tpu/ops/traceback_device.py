@@ -29,8 +29,7 @@ from jax import lax
 OP_I, OP_D, OP_EQ, OP_X = 1, 2, 7, 8
 
 
-@functools.lru_cache(maxsize=64)
-def _get_walker(S_CAP: int, WR4: int, cpw: int,
+def _build_walk(S_CAP: int, WR4: int, cpw: int,
                 x: int, o1: int, e1: int, o2: int, e2: int):
     W = WR4 * 4 * 128
     BITS = 32 // cpw
@@ -152,7 +151,24 @@ def _get_walker(S_CAP: int, WR4: int, cpw: int,
         buf, nout = push(buf, nout, OP_D, jnp.maximum(k + 1, 0))
         return buf, nout
 
-    return jax.jit(walk)
+    return walk
+
+
+@functools.lru_cache(maxsize=64)
+def _get_walker(S_CAP: int, WR4: int, cpw: int,
+                x: int, o1: int, e1: int, o2: int, e2: int):
+    return jax.jit(_build_walk(S_CAP, WR4, cpw, x, o1, e1, o2, e2))
+
+
+@functools.lru_cache(maxsize=64)
+def _get_walker_batch(S_CAP: int, WR4: int, cpw: int,
+                      x: int, o1: int, e1: int, o2: int, e2: int):
+    """All lanes walk in ONE device call: vmap of the while_loop runs
+    the lanes lockstep (finished lanes' carries are masked by the while
+    batching rule), replacing B sequential dispatch+fetch round-trips
+    over the tunnel with one."""
+    return jax.jit(jax.vmap(_build_walk(S_CAP, WR4, cpw, x, o1, e1,
+                                        o2, e2)))
 
 
 def pack_flat_words(seq: bytes, cpw: int) -> np.ndarray:
@@ -191,3 +207,70 @@ def walk_on_device(tb_packed, anc: int, ts: bytes, qs: bytes, s_final: int,
     n = int(nout)
     runs = np.asarray(buf[:n])[::-1]
     return [int(v) for v in runs]
+
+
+def walk_batch_on_device(tb_packed, ancs, ts_list, qs_list, s_finals,
+                         last_states, cpw: int, pens, skip=None) -> list:
+    """Walk every lane of a batch in one device call; returns a list of
+    packed CIGAR lists (input order).  tb_packed: [B, S_CAP, WR4, 128]
+    device array.  Lanes with skip[b] set walk zero-length sequences
+    (no iterations, empty result)."""
+    B = int(tb_packed.shape[0])
+    S_CAP, WR4 = int(tb_packed.shape[1]), int(tb_packed.shape[2])
+    walker = _get_walker_batch(S_CAP, WR4, cpw, *pens)
+    skip = skip or [False] * B
+    tws = [pack_flat_words(t if not sk else b"", cpw)
+           for t, sk in zip(ts_list, skip)]
+    qws = [pack_flat_words(q if not sk else b"", cpw)
+           for q, sk in zip(qs_list, skip)]
+    nw = max(w.shape[0] for w in tws + qws)
+    tw = np.stack([np.pad(w, (0, nw - w.shape[0])) for w in tws])
+    qw = np.stack([np.pad(w, (0, nw - w.shape[0])) for w in qws])
+    tl = np.asarray([0 if sk else len(t)
+                     for t, sk in zip(ts_list, skip)], np.int32)
+    ql = np.asarray([0 if sk else len(q)
+                     for q, sk in zip(qs_list, skip)], np.int32)
+    buf, nout = walker(tb_packed, jnp.asarray(ancs, jnp.int32),
+                       jnp.asarray(tl), jnp.asarray(ql),
+                       jnp.asarray(tw), jnp.asarray(qw),
+                       jnp.asarray(s_finals, jnp.int32),
+                       jnp.asarray(last_states, jnp.int32))
+    bufs, nouts = np.asarray(buf), np.asarray(nout)
+    return [[int(v) for v in bufs[b, :int(nouts[b])][::-1]]
+            for b in range(B)]
+
+
+@functools.lru_cache(maxsize=32)
+def _get_chain(cap: int):
+    def chain(snap, last0, cnt):
+        """Pointer-jump the snapshot rows newest->oldest on-device
+        (reference wf_traceback_seg, miniwfa.c:528-549): snap [B, cap,
+        NPWP], last0/cnt [B].  Returns (final carry [B], recs [cap, B]
+        where recs[i] is the chain pointer AT row c = cap-1-i, -3 for
+        rows past cnt)."""
+        def step(last, c):
+            row = lax.dynamic_index_in_dim(snap, c, axis=1,
+                                           keepdims=False)   # [B, NPWP]
+            nxt = jnp.take_along_axis(
+                row, jnp.clip(last, 0, row.shape[-1] - 1)[:, None],
+                1)[:, 0]
+            live = c < cnt
+            rec = jnp.where(live, last, -3)
+            last = jnp.where(live, nxt, last)
+            return last, rec
+
+        last_fin, recs = lax.scan(step, last0,
+                                  jnp.arange(cap - 1, -1, -1))
+        return last_fin, recs
+
+    return jax.jit(chain)
+
+
+def chain_ptrs_on_device(snap, last0, cnt):
+    """Fetch only the per-snapshot chain pointers (a few ints per lane)
+    instead of whole multi-MB snapshot rows; the (s, d) checkpoint
+    arithmetic stays on the host (models/traceback)."""
+    cap = int(snap.shape[1])
+    last_fin, recs = _get_chain(cap)(
+        snap, jnp.asarray(last0, jnp.int32), jnp.asarray(cnt, jnp.int32))
+    return np.asarray(last_fin), np.asarray(recs)
