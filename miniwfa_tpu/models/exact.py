@@ -270,12 +270,10 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
             max([len(s) for s in ts_list] + [len(s) for s in qs_list],
                 default=0), cpw),
         # sweep-chunk rows: bigger chunks amortize the per-chunk loop +
-        # DMA fixed cost (measured +80% cells/s at W=65536 going 8->64),
-        # but round live-band work UP to the chunk size — scale with the
-        # window so small-band buckets keep small chunks (~WR/8, i.e.
-        # ~2-8 chunks over a band that fills a quarter of its bucket)
-        cr=int(os.environ.get("MWF_KERNEL_CR", 0))
-        or min(64, max(8, bk.W // 1024)))
+        # DMA fixed cost (measured +80% score cells/s at W=65536 and
+        # +6-9% on tb/pass-1 modes going 8->64; 128 loses to rounding
+        # waste).  KSpec.CR clamps to the window for small buckets.
+        cr=int(os.environ.get("MWF_KERNEL_CR", "64")))
     pad_t = ts_list + [b""] * (B - n)
     pad_q = qs_list + [b""] * (B - n)
     nsc = wk.SC_SEG + 2 * seg_cap

@@ -43,9 +43,11 @@ def _build_walk(S_CAP: int, WR4: int, cpw: int,
         pos+c (the shifted-in low chars are garbage the caller masks)."""
         p = jnp.maximum(pos, 0)
         j = jnp.right_shift(p, LOGC)
-        w0 = lax.dynamic_index_in_dim(words, j, keepdims=False)
-        w1 = lax.dynamic_index_in_dim(
-            words, jnp.minimum(j + 1, words.shape[0] - 1), keepdims=False)
+        # one 2-word dynamic_slice instead of two indexed reads: the
+        # per-gather fixed cost dominates the walk loop (PERF_NOTES)
+        w01 = lax.dynamic_slice(
+            words, (jnp.minimum(j, words.shape[0] - 2),), (2,))
+        w0, w1 = w01[0], w01[1]
         off = jnp.bitwise_and(p, cpw - 1)
         sh = (off * BITS).astype(jnp.uint32)
         lo = jnp.right_shift(w0.astype(jnp.uint32), sh)
@@ -177,7 +179,8 @@ def pack_flat_words(seq: bytes, cpw: int) -> np.ndarray:
     across sequence lengths."""
     from . import pack as pk
     bits = 2 if cpw == 16 else 8
-    nw = max(1, (len(seq) + cpw - 1) // cpw + 1)
+    # min 2 words: the walker reads 2-word windows in one dynamic_slice
+    nw = max(2, (len(seq) + cpw - 1) // cpw + 1)
     nwb = 1
     while nwb < nw:
         nwb <<= 1

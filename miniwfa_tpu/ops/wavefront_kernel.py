@@ -134,10 +134,12 @@ class KSpec:
 
     @property
     def CR(self) -> int:
-        c = self.cr
-        if c > self.WR or self.WR % c or c % 4:
+        # refill gathers pad row-blocks to NTAB rows, so CR <= NTAB;
+        # clamp to the window first (pow2 WR keeps divisibility)
+        c = min(self.cr, self.WR, NTAB)
+        if c % 4 or self.WR % c:
             c = 8
-        return min(c, NTAB)  # refill gathers pad row-blocks to NTAB rows
+        return c
 
     @property
     def max_len(self) -> int:
