@@ -428,10 +428,13 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
         out, spec = _run_device(opt, MODE_PASS1, bk,
                                 [ts_list[i] for i in idx],
                                 [qs_list[i] for i in idx])
-        ovf = np.asarray(out["overflow"])[: len(idx)]
-        snap_cnt = np.asarray(out["snap_cnt"])
-        last_ptr = np.asarray(out["last_ptr"])
-        fs = np.asarray(out["final_s"])
+        fetched = jax.device_get(
+            {k: out[k] for k in ("overflow", "snap_cnt", "last_ptr",
+                                 "final_s", "ovf_band", "ovf_scap")})
+        ovf = fetched["overflow"][: len(idx)]
+        snap_cnt = fetched["snap_cnt"]
+        last_ptr = fetched["last_ptr"]
+        fs = fetched["final_s"]
         anc_np = np.asarray(out["anc"]) if "kernel_cpw" in out else None
         ptr_fin = ptr_recs = None
         if "kernel_cpw" in out:
@@ -465,14 +468,14 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
                 snap_x[j], snap_anc[j], int(snap_cnt[j]),
                 int(last_ptr[j]), ns, spec.W, opt.step)
         if retry:
-            need_band = bool(np.asarray(out["ovf_band"])[: len(idx)].any())
+            need_band = bool(fetched["ovf_band"][: len(idx)].any())
             if need_band and bk.W >= min(bk.W_full, w_cap):
                 raise RuntimeError(
                     f"low-mem pass-1 band exceeded the device limit "
                     f"(W={bk.W}, cap {w_cap}) — use the chain or auto "
                     f"mode for this pair, or the CPU backend")
             bk = _escalate(bk, need_band,
-                           bool(np.asarray(out["ovf_scap"])[: len(idx)].any()))
+                           bool(fetched["ovf_scap"][: len(idx)].any()))
             bk = _Buckets(_next_pow2(max(1, len(retry))), bk.LT, bk.LQ,
                           min(bk.W, w_cap), bk.S_CAP, bk.W_full, bk.S_full)
         idx = retry + idx_rest
@@ -544,14 +547,19 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         out, spec = _run_device(opt, mode, cur_bk,
                                 [ts_list[i] for i in idx],
                                 [qs_list[i] for i in idx], sub_segs)
-        # fetch ALL small per-lane outputs as numpy in one go: indexing
-        # device arrays per lane costs a host<->device roundtrip each
-        ovf = np.asarray(out["overflow"])[: len(idx)]
-        stopped = np.asarray(out["stopped"])[: len(idx)]
-        final_s = np.asarray(out["final_s"])[: len(idx)]
-        ni_lo = np.asarray(out["n_iter_lo"])
-        ni_hi = np.asarray(out["n_iter_hi"])
-        last_state = np.asarray(out["last_state"])
+        # fetch ALL small per-lane outputs in one overlapped device_get:
+        # each separate device->host read is a ~25 ms RPC on the
+        # tunnelled TPU (kernel outputs are already host numpy)
+        fetched = jax.device_get(
+            {k: out[k] for k in ("overflow", "stopped", "final_s",
+                                 "n_iter_lo", "n_iter_hi", "last_state",
+                                 "ovf_band", "ovf_scap")})
+        ovf = fetched["overflow"][: len(idx)]
+        stopped = fetched["stopped"][: len(idx)]
+        final_s = fetched["final_s"][: len(idx)]
+        ni_lo = fetched["n_iter_lo"]
+        ni_hi = fetched["n_iter_hi"]
+        last_state = fetched["last_state"]
         is_kernel = "kernel_cpw" in out
         anc_np = np.asarray(out["anc"]) if is_kernel else None
         tb_bits = tb_lo = None
@@ -620,9 +628,9 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                                 s, ts_list[i], qs_list[i])
             results[i] = Result(s=s, cigar=cig, n_iter=n_iter)
         if retry:
-            ovf_b = np.asarray(out["ovf_band"])[: len(idx)]
+            ovf_b = fetched["ovf_band"][: len(idx)]
             need_band = bool(ovf_b.any())
-            need_scap = bool(np.asarray(out["ovf_scap"])[: len(idx)].any())
+            need_scap = bool(fetched["ovf_scap"][: len(idx)].any())
             if need_band and cur_bk.W >= min(cur_bk.W_full, w_cap):
                 # the band outgrew the largest device-servable window
                 if band_limit != "stop":

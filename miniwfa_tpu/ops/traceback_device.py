@@ -169,8 +169,15 @@ def _get_walker_batch(S_CAP: int, WR4: int, cpw: int,
     the lanes lockstep (finished lanes' carries are masked by the while
     batching rule), replacing B sequential dispatch+fetch round-trips
     over the tunnel with one."""
-    return jax.jit(jax.vmap(_build_walk(S_CAP, WR4, cpw, x, o1, e1,
-                                        o2, e2)))
+    walk = _build_walk(S_CAP, WR4, cpw, x, o1, e1, o2, e2)
+
+    def walk_packed(*args):
+        # fold the run count into the buffer tail: ONE output array =
+        # ONE device->host RPC on the tunnel (each costs ~25 ms)
+        buf, nout = walk(*args)
+        return jnp.concatenate([buf, nout[None]], 0)
+
+    return jax.jit(jax.vmap(walk_packed))
 
 
 def pack_flat_words(seq: bytes, cpw: int) -> np.ndarray:
@@ -233,12 +240,13 @@ def walk_batch_on_device(tb_packed, ancs, ts_list, qs_list, s_finals,
                      for t, sk in zip(ts_list, skip)], np.int32)
     ql = np.asarray([0 if sk else len(q)
                      for q, sk in zip(qs_list, skip)], np.int32)
-    buf, nout = walker(tb_packed, jnp.asarray(ancs, jnp.int32),
-                       jnp.asarray(tl), jnp.asarray(ql),
-                       jnp.asarray(tw), jnp.asarray(qw),
-                       jnp.asarray(s_finals, jnp.int32),
-                       jnp.asarray(last_states, jnp.int32))
-    bufs, nouts = np.asarray(buf), np.asarray(nout)
+    packed = np.asarray(walker(
+        tb_packed, jnp.asarray(ancs, jnp.int32),
+        jnp.asarray(tl), jnp.asarray(ql),
+        jnp.asarray(tw), jnp.asarray(qw),
+        jnp.asarray(s_finals, jnp.int32),
+        jnp.asarray(last_states, jnp.int32)))
+    bufs, nouts = packed[:, :-1], packed[:, -1]
     return [[int(v) for v in bufs[b, :int(nouts[b])][::-1]]
             for b in range(B)]
 
@@ -264,7 +272,8 @@ def _get_chain(cap: int):
 
         last_fin, recs = lax.scan(step, last0,
                                   jnp.arange(cap - 1, -1, -1))
-        return last_fin, recs
+        # one output array = one fetch RPC: row 0 is the final carry
+        return jnp.concatenate([last_fin[None, :], recs], 0)
 
     return jax.jit(chain)
 
@@ -274,6 +283,6 @@ def chain_ptrs_on_device(snap, last0, cnt):
     instead of whole multi-MB snapshot rows; the (s, d) checkpoint
     arithmetic stays on the host (models/traceback)."""
     cap = int(snap.shape[1])
-    last_fin, recs = _get_chain(cap)(
-        snap, jnp.asarray(last0, jnp.int32), jnp.asarray(cnt, jnp.int32))
-    return np.asarray(last_fin), np.asarray(recs)
+    packed = np.asarray(_get_chain(cap)(
+        snap, jnp.asarray(last0, jnp.int32), jnp.asarray(cnt, jnp.int32)))
+    return packed[0], packed[1:]

@@ -473,8 +473,15 @@ def build_kernel(spec: KSpec):
             """Chunk LCP extension; returns advanced k.  Mirrors the
             per-diagonal semantics of miniwfa.c:212-226 with the advance
             capped at the matrix edge (no sentinels)."""
+            if _os.environ.get("MWF_KDBG_NOEXT"):
+                # profiling knob: no extension at all (breaks parity;
+                # bound the run with max_s) — isolates probe-loop cost
+                return k, jnp.zeros((), bool)
+            max_rounds = 1 if _os.environ.get("MWF_KDBG_EXT1") \
+                else MAXR_SAFETY
+
             def cond(c):
-                return jnp.any(c[1] != 0) & (c[2] < MAXR_SAFETY)
+                return jnp.any(c[1] != 0) & (c[2] < max_rounds)
 
             def body(c):
                 k, un_i, rnd = c
@@ -1013,9 +1020,12 @@ def build_kernel(spec: KSpec):
     return call
 
 
-def _assemble(spec: KSpec, outs):
-    """Kernel outputs -> the lax-engine-compatible result dict."""
-    o = outs[0]
+def _assemble(spec: KSpec, outs, o=None):
+    """Kernel outputs -> the lax-engine-compatible result dict.  ``o``
+    may be a pre-fetched numpy copy of the scalar row (host path); when
+    absent the slices stay traced (sharded path)."""
+    if o is None:
+        o = outs[0]
     res = dict(
         final_s=o[:, O_S], done=o[:, O_DONE] != 0,
         stopped=o[:, O_STOP] != 0, ovf_band=o[:, O_OVFB] != 0,
@@ -1039,13 +1049,23 @@ def get_kernel(spec: KSpec, interpret: bool = False):
     """Jitted fused-cycle aligner.  Returns fn(scal, twt, twq) -> dict
     with the same keys as the lax engine's output (ops/wavefront.py),
     except the traceback comes back PACKED (``tb_packed``: [B, S_CAP,
-    WR//4, 128] int32, 4 rows/word — see unpack_tb)."""
+    WR//4, 128] int32, 4 rows/word — see unpack_tb).  The scalar row is
+    fetched ONCE and sliced on the host: over the tunnelled TPU every
+    separate device->host read is a ~25 ms RPC, and the per-key dict
+    slices used to cost ~225 ms/call (9 reads)."""
+    import numpy as np
     call = build_kernel(spec)
 
-    def run(scal, twt, twq):
-        return _assemble(spec, call(scal, twt, twq, interpret=interpret))
+    def raw(scal, twt, twq):
+        return call(scal, twt, twq, interpret=interpret)
 
-    return jax.jit(run)
+    raw = jax.jit(raw)
+
+    def run(scal, twt, twq):
+        outs = raw(scal, twt, twq)
+        return _assemble(spec, outs, o=np.asarray(outs[0]))
+
+    return run
 
 
 def get_sharded_kernel(spec: KSpec, mesh, axis: str = "data",
