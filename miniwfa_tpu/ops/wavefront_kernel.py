@@ -479,13 +479,16 @@ def build_kernel(spec: KSpec):
                 return k, jnp.zeros((), bool)
             max_rounds = 1 if _os.environ.get("MWF_KDBG_EXT1") \
                 else MAXR_SAFETY
+            # probes per while-round: each iteration pays loop/cond/carry
+            # bookkeeping ONCE for EXT_UNROLL 16-char probes, and the
+            # round count is a max over the chunk's 8k lanes (a long
+            # match run anywhere re-probes the whole chunk)
+            unroll = int(_os.environ.get("MWF_EXT_UNROLL", "3"))
 
             def cond(c):
                 return jnp.any(c[1] != 0) & (c[2] < max_rounds)
 
-            def body(c):
-                k, un_i, rnd = c
-                un = un_i != 0   # i1 vectors can't be loop carries (Mosaic)
+            def probe_once(k, un):
                 pos_t = k + 1
                 pos_q = DDc + k + 1
                 cht, nvt, inwt, jT = probe_side(ro, wta, wtb, baT, pos_t)
@@ -505,12 +508,23 @@ def build_kernel(spec: KSpec):
                 act = un & inw
                 k = jnp.where(act, k + adv, k)
                 resolved = act & ((run < nv) | (adv >= cap))
-                un = un & ~resolved
-                # recompute probe words at the ADVANCED positions so the
-                # elected element's windows cover where it will probe next
-                needy = un & ~inw
+                return k, un & ~resolved
+
+            def body(c):
+                k, un_i, rnd = c
+                un = un_i != 0   # i1 vectors can't be loop carries (Mosaic)
+                for _ in range(unroll):
+                    k, un = probe_once(k, un)
+                # needy = unresolved lanes whose NEXT probe would leave
+                # the window at the ADVANCED position (the refill elects
+                # windows covering where they will probe next)
                 jT2 = jnp.right_shift(k + 1, LOGC)
                 jQ2 = jnp.right_shift(DDc + k + 1, LOGC)
+                cT = jT2 - baT[pl.ds(ro, CR)]
+                cQ = jQ2 - baQ[pl.ds(ro, CR)]
+                inw2 = (cT >= 0) & (cT < 2 * NTAB) \
+                    & (cQ >= 0) & (cQ < 2 * NTAB)
+                needy = un & ~inw2
 
                 @pl.when(jnp.any(needy))
                 def _():
@@ -571,8 +585,15 @@ def build_kernel(spec: KSpec):
                         stuck_a | stuck.astype(jnp.int32))
 
             z32 = jnp.int32(0)
-            term_i, zero_i, bits_at, ptr, stuck_i = lax.fori_loop(
-                e0, e1_, ext_chunk, (z32, z32, z32, jnp.int32(NEG), z32))
+            if _os.environ.get("MWF_KDBG_NOEXTSWEEP"):
+                # profiling knob: skip the whole extension sweep
+                # (parity-breaking; bound with max_s) — isolates the
+                # sweep's structural cost from the probe compute
+                term_i, zero_i, bits_at, ptr, stuck_i = (
+                    z32, z32, z32, jnp.int32(NEG), z32)
+            else:
+                term_i, zero_i, bits_at, ptr, stuck_i = lax.fori_loop(
+                    e0, e1_, ext_chunk, (z32, z32, z32, jnp.int32(NEG), z32))
             term = term_i != 0
             ovf = ovf | (stuck_i != 0)  # never in correct operation
 

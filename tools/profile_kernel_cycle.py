@@ -33,6 +33,8 @@ def one(variant):
         os.environ["MWF_KDBG_EXT1"] = "1"
     elif variant == "noext":
         os.environ["MWF_KDBG_NOEXT"] = "1"
+    elif variant == "nosweep":
+        os.environ["MWF_KDBG_NOEXTSWEEP"] = "1"
     from miniwfa_tpu.ops import wavefront_kernel as wk
     from bench import mutate
     import random
@@ -67,7 +69,7 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "one":
         one(sys.argv[2])
         return
-    for v in ("full", "ext1", "noext"):
+    for v in ("full", "ext1", "noext", "nosweep"):
         subprocess.run([sys.executable, __file__, "one", v], check=True)
 
 
