@@ -46,7 +46,9 @@ def _allgather_small(out, keys):
         from jax.experimental import multihost_utils as mh
         return {k: np.asarray(mh.process_allgather(out[k], tiled=True))
                 for k in keys}
-    return {k: np.asarray(out[k]) for k in keys}
+    # one overlapped device_get: each separate read is a ~25 ms RPC on
+    # the tunnelled TPU
+    return jax.device_get({k: out[k] for k in keys})
 
 
 def _lane_addressable(arr, j: int) -> bool:
