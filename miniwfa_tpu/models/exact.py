@@ -453,8 +453,23 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
         retry = []
         for j, i in enumerate(idx):
             if ovf[j]:
+                if preflighted:
+                    # the dispatch was sized exactly from a score-only
+                    # preflight: an overflow here means the two runs
+                    # disagreed — an engine fault, not a capacity issue
+                    raise RuntimeError(
+                        f"low-mem pass 1 overflowed a window sized from "
+                        f"its own score preflight (lane {i}, "
+                        f"s_preflight={s_fin[i]}, W={bk.W}, "
+                        f"S_CAP={bk.S_CAP}) — engine inconsistency; "
+                        f"re-run (transient device faults have shown up "
+                        f"as missed terminations, PERF_NOTES.md)")
                 retry.append(i)
                 continue
+            if preflighted and int(fs[j]) != s_fin[i]:
+                raise RuntimeError(
+                    f"low-mem pass 1 score {int(fs[j])} != preflight "
+                    f"score {s_fin[i]} (lane {i}) — engine inconsistency")
             s_fin[i] = int(fs[j])
             if "kernel_cpw" in out:
                 segs[i] = tbk.decode_checkpoints_ptrs(
@@ -522,6 +537,13 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
     bk = _buckets_for(opt, ts_list, qs_list, w0, s0)
     ns = opt.max_pen + 1
     mode = MODE_TB if opt.cigar else MODE_SCORE
+    if mode == MODE_SCORE:
+        # score mode: NO buffer scales with S_CAP on any engine (tb and
+        # snapshot buffers exist only in TB/PASS1 modes), so use the
+        # full score bound upfront — the escalation ladder then only
+        # ever re-runs for the band window, never for the cycle budget
+        bk = _Buckets(bk.B, bk.LT, bk.LQ, bk.W, bk.S_full,
+                      bk.W_full, bk.S_full)
     w_cap = _device_w_cap(mode, bk, ts_list, qs_list)
     if bk.W > w_cap:
         bk = _Buckets(bk.B, bk.LT, bk.LQ, w_cap, bk.S_CAP,

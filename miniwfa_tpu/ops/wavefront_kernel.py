@@ -824,14 +824,28 @@ def build_kernel(spec: KSpec):
                     neg_row, neg_row, neg_row, neg_row)
             if not is_p1:
                 car = lax.fori_loop(s0c, s1c, make_sweep(True, True), car0)
+                lo_ok, hi_ok = car[0] != 0, car[1] != 0
             else:
                 # snapshot cycles must serialize the sf rings AFTER the
                 # whole band retires and BEFORE any transition
-                # (miniwfa.c:585-587): split the sweep on those cycles
-                lax.fori_loop(s0c, s1c, make_sweep(True, False), car0)
+                # (miniwfa.c:585-587): split the sweep ONLY on those
+                # cycles (1 in `step`); every other cycle uses the same
+                # fused retire+transition sweep as score mode — the
+                # retire writes ring slot t mod depth, which the
+                # transition never reads (ages >= 2 map to other slots;
+                # age 1 statically bypasses to the top registers)
+                split = act & snap_due
 
-                @pl.when(act & snap_due)
+                @pl.when(~split)
                 def _():
+                    carf = lax.fori_loop(s0c, s1c, make_sweep(True, True),
+                                         car0)
+                    dm[2] = carf[0]
+                    dm[3] = carf[1]
+
+                @pl.when(split)
+                def _():
+                    lax.fori_loop(s0c, s1c, make_sweep(True, False), car0)
                     # serialize the sf rings (exactly the reachable
                     # slices, vs the reference's full NS x 5 stripe,
                     # miniwfa.c:451-474) and reset them to fresh flat
@@ -863,8 +877,12 @@ def build_kernel(spec: KSpec):
                         top[:] = jnp.where(
                             in_t, (p0 + t % dp) * WP + w_idx, NEG)
 
-                car = lax.fori_loop(s0c, s1c, make_sweep(False, True), car0)
-            lo_ok, hi_ok = car[0] != 0, car[1] != 0
+                    carf = lax.fori_loop(s0c, s1c,
+                                         make_sweep(False, True), car0)
+                    dm[2] = carf[0]
+                    dm[3] = carf[1]
+
+                lo_ok, hi_ok = dm[2] != 0, dm[3] != 0
 
             wf_lo = jnp.where(act & lo_ok, lo, wf_lo)
             wf_hi = jnp.where(act & hi_ok, hi, wf_hi)
@@ -992,7 +1010,8 @@ def build_kernel(spec: KSpec):
         pltpu.VMEM((WR, 128), jnp.int32),         # pbits
         pltpu.VMEM((NSLOT, CR4, 128), jnp.int32),  # tbrow slots
         pltpu.SemaphoreType.DMA((NSLOT,)),        # sem_tb
-        pltpu.SMEM((2,), jnp.int32),              # dm: slot ctr, pending
+        pltpu.SMEM((4,), jnp.int32),              # dm: slot ctr, pending,
+                                                  # [p1] loq/hiq sweep carry
         pltpu.VMEM((NTAB, NTAB), jnp.int32),      # twtv (resident segment)
         pltpu.VMEM((NTAB, NTAB), jnp.int32),      # twqv
         pltpu.SMEM((2,), jnp.int32),              # cs (resident seg ids)

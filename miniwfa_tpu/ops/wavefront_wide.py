@@ -773,33 +773,47 @@ def build_kernel_wide(spec: WSpec):
             car0 = (z32, z32, neg_row, neg_row, neg_row, neg_row,
                     neg_row, neg_row, neg_row, neg_row)
 
-            if not is_p1:
-                # --- fused retire + transition sweep (score mode),
-                # software-pipelined: chunk ci+1's in-DMAs fly while
-                # chunk ci computes
+            # --- fused retire + transition sweep (score mode and
+            # non-snapshot pass-1 cycles), software-pipelined: chunk
+            # ci+1's in-DMAs fly while chunk ci computes
+            def fused_chunk(ci, car):
+                pb = ci & 1
+                ro = ci * CR
+                stage_trans_wait(pb, ro, snc)
+                prefetch_next(ci, s1c, snc)
+                DDc = DDW + ro * 128
+                in_top = (DDc >= t_lo) & (DDc <= t_hi)
+                outs = retire_block(pb, ro, in_top, DDc)
+                car = trans_block(pb, ro, car)
+                for g in outs + [G_TOP]:
+                    start_out(g, pb, ro, snc)
+                return car
+
+            def run_fused():
                 @pl.when(s0c < s1c)
                 def _():
                     drain(s0c & 1, snc)
                     stage_trans_start(s0c & 1, s0c * CR, snc)
 
-                def fused_chunk(ci, car):
-                    pb = ci & 1
-                    ro = ci * CR
-                    stage_trans_wait(pb, ro, snc)
-                    prefetch_next(ci, s1c, snc)
-                    DDc = DDW + ro * 128
-                    in_top = (DDc >= t_lo) & (DDc <= t_hi)
-                    outs = retire_block(pb, ro, in_top, DDc)
-                    car = trans_block(pb, ro, car)
-                    for g in outs + [G_TOP]:
-                        start_out(g, pb, ro, snc)
-                    return car
+                return lax.fori_loop(s0c, s1c, fused_chunk, car0)
 
-                car = lax.fori_loop(s0c, s1c, fused_chunk, car0)
+            if not is_p1:
+                car = run_fused()
+                loqv, hiqv = car[0], car[1]
             else:
-                # --- pass 1: retire sweep | snapshot | transition sweep
-                # (the serialization must land between them,
-                # miniwfa.c:585-587)
+                # --- pass 1: snapshot cycles serialize the sf rings
+                # between retire and transition (miniwfa.c:585-587) and
+                # run split retire | snapshot | transition sweeps; every
+                # other cycle (step-1 of every step) uses the SAME fused
+                # sweep as score mode — retire writes ring/snapshot slot
+                # t mod depth, which the transition never reads (ages
+                # >= 2 map to other slots; age 1 bypasses to the tops)
+                @pl.when(~snap_now)
+                def _():
+                    carf = run_fused()
+                    cs[2] = carf[0]
+                    cs[3] = carf[1]
+
                 def ret_in_descs(pb, ro):
                     return [pltpu.make_async_copy(
                         top_ref.at[b, :, pl.ds(ro, CRB)], sTOP.at[pb],
@@ -808,104 +822,110 @@ def build_kernel_wide(spec: WSpec):
                         va_ref.at[b, :, pl.ds(ro, CR)], sVA.at[pb],
                         semi.at[pb, G_VA])]
 
-                @pl.when(s0c < s1c)
-                def _():
-                    drain(s0c & 1, snc)
-                    for cp in ret_in_descs(s0c & 1, s0c * CR):
-                        cp.start()
-
-                def ret_chunk(ci, car_):
-                    pb = ci & 1
-                    ro = ci * CR
-                    for cp in ret_in_descs(pb, ro):
-                        cp.wait()
-                    nxt = ci + 1
-
-                    @pl.when(nxt < s1c)
-                    def _():
-                        drain(nxt & 1, snc)
-                        for cp in ret_in_descs(nxt & 1, nxt * CR):
-                            cp.start()
-
-                    DDc = DDW + ro * 128
-                    in_top = (DDc >= t_lo) & (DDc <= t_hi)
-                    outs = retire_block(pb, ro, in_top, DDc)
-                    for g in outs:
-                        start_out(g, pb, ro, snc)
-                    return car_
-
-                lax.fori_loop(s0c, s1c, ret_chunk, 0)
-                drain(0, snc)
-                drain(1, snc)
-
-                # snapshot boundary: row snc is frozen in place (it IS
-                # the serialization); seed row snc+1 with fresh flat
-                # indices over every ring slot's slice band, and reset
-                # the sf TOP registers to the frozen row's score-t slot
-                # indices (the v3 kernel's ring-reset + top-refresh,
-                # wavefront_kernel.py snapshot block) — rare: one sweep
-                # per `step` cycles
                 @pl.when(snap_now)
                 def _():
-                    def mm(j, c):
-                        mn, mx = c
-                        ok = bnd_lo[j] <= bnd_hi[j]
-                        mn = jnp.where(ok, jnp.minimum(mn, bnd_lo[j]), mn)
-                        mx = jnp.where(ok, jnp.maximum(mx, bnd_hi[j]), mx)
-                        return mn, mx
+                    @pl.when(s0c < s1c)
+                    def _():
+                        drain(s0c & 1, snc)
+                        for cp in ret_in_descs(s0c & 1, s0c * CR):
+                            cp.start()
 
-                    mn, mx = lax.fori_loop(0, DH, mm, (t_lo, t_hi))
-                    f0, f1 = chunk_range(mn, mx, False)
-
-                    def fresh_chunk(ci, _):
+                    def ret_chunk(ci, car_):
+                        pb = ci & 1
                         ro = ci * CR
+                        for cp in ret_in_descs(pb, ro):
+                            cp.wait()
+                        nxt = ci + 1
+
+                        @pl.when(nxt < s1c)
+                        def _():
+                            drain(nxt & 1, snc)
+                            for cp in ret_in_descs(nxt & 1, nxt * CR):
+                                cp.start()
+
                         DDc = DDW + ro * 128
-                        w_idx = (ro + iota2(CR, 0)) * 128 + iota2(CR, 1)
-                        for p0, dp in RET:
-                            for j in range(dp):
-                                s_j = t - jnp.mod(t - j, dp)
-                                in_b = (s_j >= 0) \
-                                    & (DDc >= bnd_lo[jnp.mod(s_j, DH)]) \
-                                    & (DDc <= bnd_hi[jnp.mod(s_j, DH)])
-                                sFR[p0 + j] = jnp.where(
-                                    in_b, (p0 + j) * WPT + w_idx, NEG)
-                        in_t = (DDc >= t_lo) & (DDc <= t_hi)
-                        for k, (p0, dp) in enumerate(RET):
-                            sST[0, k] = jnp.where(
-                                in_t, (p0 + t % dp) * WPT + w_idx, NEG)
-                        cpf = pltpu.make_async_copy(
-                            sFR, snap_ref.at[b, snc + 1, :,
-                                             pl.ds(ro, CR)],
-                            semo.at[0, 16])
-                        cpt_ = pltpu.make_async_copy(
-                            sST.at[0], top_ref.at[b, 5:10, pl.ds(ro, CR)],
-                            semo.at[0, 17])
-                        cpf.start()
-                        cpt_.start()
-                        cpf.wait()
-                        cpt_.wait()
-                        return 0
+                        in_top = (DDc >= t_lo) & (DDc <= t_hi)
+                        outs = retire_block(pb, ro, in_top, DDc)
+                        for g in outs:
+                            start_out(g, pb, ro, snc)
+                        return car_
 
-                    lax.fori_loop(f0, f1, fresh_chunk, 0)
+                    lax.fori_loop(s0c, s1c, ret_chunk, 0)
+                    drain(0, snc)
+                    drain(1, snc)
 
-                @pl.when(s0c < s1c)
-                def _():
-                    drain(s0c & 1, snc2)
-                    stage_trans_start(s0c & 1, s0c * CR, snc2)
+                    # snapshot boundary: row snc is frozen in place (it IS
+                    # the serialization); seed row snc+1 with fresh flat
+                    # indices over every ring slot's slice band, and reset
+                    # the sf TOP registers to the frozen row's score-t slot
+                    # indices (the v3 kernel's ring-reset + top-refresh,
+                    # wavefront_kernel.py snapshot block) — rare: one sweep
+                    # per `step` cycles
+                    @pl.when(snap_now)
+                    def _():
+                        def mm(j, c):
+                            mn, mx = c
+                            ok = bnd_lo[j] <= bnd_hi[j]
+                            mn = jnp.where(ok, jnp.minimum(mn, bnd_lo[j]), mn)
+                            mx = jnp.where(ok, jnp.maximum(mx, bnd_hi[j]), mx)
+                            return mn, mx
 
-                def trans_chunk(ci, car):
-                    pb = ci & 1
-                    ro = ci * CR
-                    stage_trans_wait(pb, ro, snc2)
-                    prefetch_next(ci, s1c, snc2)
-                    car = trans_block(pb, ro, car)
-                    start_out(G_TOP, pb, ro, snc2)
-                    return car
+                        mn, mx = lax.fori_loop(0, DH, mm, (t_lo, t_hi))
+                        f0, f1 = chunk_range(mn, mx, False)
 
-                car = lax.fori_loop(s0c, s1c, trans_chunk, car0)
+                        def fresh_chunk(ci, _):
+                            ro = ci * CR
+                            DDc = DDW + ro * 128
+                            w_idx = (ro + iota2(CR, 0)) * 128 + iota2(CR, 1)
+                            for p0, dp in RET:
+                                for j in range(dp):
+                                    s_j = t - jnp.mod(t - j, dp)
+                                    in_b = (s_j >= 0) \
+                                        & (DDc >= bnd_lo[jnp.mod(s_j, DH)]) \
+                                        & (DDc <= bnd_hi[jnp.mod(s_j, DH)])
+                                    sFR[p0 + j] = jnp.where(
+                                        in_b, (p0 + j) * WPT + w_idx, NEG)
+                            in_t = (DDc >= t_lo) & (DDc <= t_hi)
+                            for k, (p0, dp) in enumerate(RET):
+                                sST[0, k] = jnp.where(
+                                    in_t, (p0 + t % dp) * WPT + w_idx, NEG)
+                            cpf = pltpu.make_async_copy(
+                                sFR, snap_ref.at[b, snc + 1, :,
+                                                 pl.ds(ro, CR)],
+                                semo.at[0, 16])
+                            cpt_ = pltpu.make_async_copy(
+                                sST.at[0], top_ref.at[b, 5:10, pl.ds(ro, CR)],
+                                semo.at[0, 17])
+                            cpf.start()
+                            cpt_.start()
+                            cpf.wait()
+                            cpt_.wait()
+                            return 0
+
+                        lax.fori_loop(f0, f1, fresh_chunk, 0)
+
+                    @pl.when(s0c < s1c)
+                    def _():
+                        drain(s0c & 1, snc2)
+                        stage_trans_start(s0c & 1, s0c * CR, snc2)
+
+                    def trans_chunk(ci, car):
+                        pb = ci & 1
+                        ro = ci * CR
+                        stage_trans_wait(pb, ro, snc2)
+                        prefetch_next(ci, s1c, snc2)
+                        car = trans_block(pb, ro, car)
+                        start_out(G_TOP, pb, ro, snc2)
+                        return car
+
+                    carf = lax.fori_loop(s0c, s1c, trans_chunk, car0)
+                    cs[2] = carf[0]
+                    cs[3] = carf[1]
+
+                loqv, hiqv = cs[2], cs[3]
             drain(0, snc2)
             drain(1, snc2)
-            lo_ok, hi_ok = car[0] != 0, car[1] != 0
+            lo_ok, hi_ok = loqv != 0, hiqv != 0
 
             wf_lo = jnp.where(act & lo_ok, lo, wf_lo)
             wf_hi = jnp.where(act & hi_ok, hi, wf_hi)
@@ -1043,7 +1063,7 @@ def build_kernel_wide(spec: WSpec):
         pltpu.SemaphoreType.DMA((2, NSEM)),            # semi
         pltpu.SemaphoreType.DMA((2, NSEM)),            # semo
         pltpu.SMEM((2,), jnp.int32),                   # pend
-        pltpu.SMEM((2,), jnp.int32),                   # cs
+        pltpu.SMEM((4,), jnp.int32),                   # cs (+ p1 loq/hiq carry)
         pltpu.SMEM((DH,), jnp.int32),                  # bnd_lo
         pltpu.SMEM((DH,), jnp.int32),                  # bnd_hi
     ]
@@ -1186,6 +1206,13 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
         outs = fn(jnp.asarray(full), twt, twq, *state)
         o = np.asarray(outs[0])
         state = list(outs[1:])
+        if os.environ.get("MWF_WIDE_DEBUG"):
+            for b2 in np.nonzero(live)[0]:
+                print(f"[wide b{b2}] t={o[b2, OW_T]} lim={full[b2, RS_LIM]} "
+                      f"done={o[b2, O_DONE]} pause={o[b2, OW_PAUSE]} "
+                      f"ovfb={o[b2, O_OVFB]} ovfs={o[b2, O_OVFS]} "
+                      f"s={o[b2, O_S]} wf=[{o[b2, OW_WLO]},{o[b2, OW_WHI]}] "
+                      f"snc={o[b2, O_SNC]}", flush=True)
         final[live] = o[live]
         live = live & (o[:, OW_PAUSE] != 0)
         if not live.any():

@@ -30,8 +30,10 @@ def main():
     from miniwfa_tpu.options import Options
     from miniwfa_tpu.models.exact import align_batch
     from miniwfa_tpu import cigar as C
+    from miniwfa_tpu.utils.cache import enable_compile_cache
     import jax
 
+    enable_compile_cache()   # per-case walls are compile-dominated otherwise
     print(f"backend: {jax.default_backend()}", flush=True)
     g = json.load(open(os.path.join(os.path.dirname(__file__), "..",
                                     "tests", "data", "goldens.json")))
