@@ -671,9 +671,20 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 need_band = False
             if retry:
                 cur_bk = _escalate(cur_bk, need_band, need_scap)
+                new_w = min(cur_bk.W, w_cap)
+                if need_band and new_w > 65536 and mode == MODE_SCORE:
+                    # beyond the VMEM kernel the wide engine's cycles
+                    # are band-proportional, so oversizing W costs only
+                    # HBM + one init sweep: jump straight to the largest
+                    # band this pair can ever need (clipped to [-tl,ql])
+                    # instead of re-running t~W/2 cycles per x4 rung
+                    band_max = -(-(cur_bk.LT + cur_bk.LQ + 2 * ns + 64)
+                                 // 16384) * 16384
+                    new_w = min(max(new_w, band_max), cur_bk.W_full, w_cap)
+                    new_w -= new_w % 16384   # wide engine row-chunk grain
                 cur_bk = _Buckets(_next_pow2(max(1, len(retry))),
                                   cur_bk.LT, cur_bk.LQ,
-                                  min(cur_bk.W, w_cap), cur_bk.S_CAP,
+                                  new_w, cur_bk.S_CAP,
                                   cur_bk.W_full, cur_bk.S_full)
         idx = retry
     return results  # type: ignore[return-value]
