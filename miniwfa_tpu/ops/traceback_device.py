@@ -92,22 +92,29 @@ def _build_walk(S_CAP: int, WR4: int, cpw: int,
             scalars and selected."""
             i, k, srow, last, buf, nout = c
 
-            # backward probe: cpw chars ENDING at (i, k); the top chars of
-            # the windows align with the current positions, so the match
-            # run is the count of leading zero chars of the XOR
-            wt = word_at(tw, k - (cpw - 1))
-            wq = word_at(qw, i - (cpw - 1))
-            valid = jnp.minimum(jnp.minimum(k, i) + 1, cpw)
-            xw = wt ^ wq
-            # chars below the valid window are garbage: force mismatch
-            nv8 = ((cpw - valid) * BITS).astype(jnp.uint32)
-            mask = jnp.where(valid >= cpw, jnp.uint32(0),
-                             jnp.right_shift(jnp.uint32(0xFFFFFFFF),
-                                             jnp.uint32(32) - nv8))
-            xf = xw | mask
-            clz = lax.clz(xf.astype(jnp.int32))
-            run = jnp.where(xf == 0, valid,
-                            jnp.minimum(jnp.right_shift(clz, LOGB), valid))
+            # backward probe: cpw chars ENDING at (i-off, k-off); the top
+            # chars of the windows align with the probed positions, so
+            # the match run is the count of leading zero chars of the XOR
+            def probe16(off):
+                wt = word_at(tw, k - off - (cpw - 1))
+                wq = word_at(qw, i - off - (cpw - 1))
+                valid = jnp.clip(jnp.minimum(k, i) + 1 - off, 0, cpw)
+                xw = wt ^ wq
+                # chars below the valid window are garbage: force mismatch
+                nv8 = ((cpw - valid) * BITS).astype(jnp.uint32)
+                mask = jnp.where(valid >= cpw, jnp.uint32(0),
+                                 jnp.right_shift(jnp.uint32(0xFFFFFFFF),
+                                                 jnp.uint32(32) - nv8))
+                xf = xw | mask
+                clz = lax.clz(xf.astype(jnp.int32))
+                return jnp.where(xf == 0, valid,
+                                 jnp.minimum(jnp.right_shift(clz, LOGB),
+                                             valid))
+
+            # two stacked probes consume up to 2*cpw chars per iteration
+            # (match runs dominate the walk's iteration count)
+            run = probe16(0)
+            run = run + jnp.where(run >= cpw, probe16(cpw), 0)
             matching = (last == 0) & (run > 0)
 
             # DP-byte decode (reference miniwfa.c:341-366); the tb cell
