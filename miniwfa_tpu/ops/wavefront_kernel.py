@@ -205,6 +205,12 @@ def build_kernel(spec: KSpec):
     CR = spec.CR
     CRB = CR + 8
     CR4 = CR // 4
+    # probe-window blocks per side: 2 = 256 words (4096 chars at cpw=16)
+    # costing two gathers + select per probe; 1 = 128 words and ONE
+    # gather per probe.  MEASURED: 1-block LOSES big (650M vs 1153M
+    # cells/s on the 100 kb bench) — the extra refill rounds it induces
+    # dwarf the saved gathers, so the wide window is load-bearing.
+    EXTB = int(_os.environ.get("MWF_EXT_BLOCKS", "2"))
     WR4 = WR // 4
     CPW = spec.cpw
     BITS = 32 // CPW              # bits per char
@@ -448,22 +454,27 @@ def build_kernel(spec: KSpec):
                     mrow, wtmp[0:CR], win_ref[pl.ds(ro, CR)])
 
             fill(wta, twt, idxT)
-            fill(wtb, twt, idxT1)
             fill(wqa, twq, idxQ)
-            fill(wqb, twq, idxQ1)
+            if EXTB == 2:
+                fill(wtb, twt, idxT1)
+                fill(wqb, twq, idxQ1)
 
         def probe_side(ro, win_a, win_b, base, pos):
             """16/4-char probe word at char ``pos`` from the row window.
             Returns (chars, n_valid, in_window, word_idx)."""
             j = jnp.right_shift(pos, LOGC)
             c = j - base[pl.ds(ro, CR)]
-            in_win = (c >= 0) & (c < 2 * NTAB)
-            cc = jnp.clip(c, 0, 2 * NTAB - 1)
-            ca = jnp.minimum(cc, NTAB - 1)
-            cb = jnp.clip(cc - NTAB, 0, NTAB - 1)
-            ga = jnp.take_along_axis(win_a[pl.ds(ro, CR)], ca, axis=1)
-            gb = jnp.take_along_axis(win_b[pl.ds(ro, CR)], cb, axis=1)
-            w0 = jnp.where(cc < NTAB, ga, gb)
+            in_win = (c >= 0) & (c < EXTB * NTAB)
+            if EXTB == 1:
+                ca = jnp.clip(c, 0, NTAB - 1)
+                w0 = jnp.take_along_axis(win_a[pl.ds(ro, CR)], ca, axis=1)
+            else:
+                cc = jnp.clip(c, 0, 2 * NTAB - 1)
+                ca = jnp.minimum(cc, NTAB - 1)
+                cb = jnp.clip(cc - NTAB, 0, NTAB - 1)
+                ga = jnp.take_along_axis(win_a[pl.ds(ro, CR)], ca, axis=1)
+                gb = jnp.take_along_axis(win_b[pl.ds(ro, CR)], cb, axis=1)
+                w0 = jnp.where(cc < NTAB, ga, gb)
             off = jnp.bitwise_and(pos, CPW - 1)
             chars = jnp.right_shift(w0.astype(jnp.uint32),
                                     (off * BITS).astype(jnp.uint32))
@@ -522,8 +533,8 @@ def build_kernel(spec: KSpec):
                 jQ2 = jnp.right_shift(DDc + k + 1, LOGC)
                 cT = jT2 - baT[pl.ds(ro, CR)]
                 cQ = jQ2 - baQ[pl.ds(ro, CR)]
-                inw2 = (cT >= 0) & (cT < 2 * NTAB) \
-                    & (cQ >= 0) & (cQ < 2 * NTAB)
+                inw2 = (cT >= 0) & (cT < EXTB * NTAB) \
+                    & (cQ >= 0) & (cQ < EXTB * NTAB)
                 needy = un & ~inw2
 
                 @pl.when(jnp.any(needy))
