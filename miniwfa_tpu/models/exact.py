@@ -191,15 +191,21 @@ def _run_device_wide(opt: Options, mode: int, bk: _Buckets,
     is_p1 = mode == MODE_PASS1
     mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
              default=0)
+    wr = bk.W // 128
+    # bigger staging chunks amortize the per-chunk DMA descriptor count
+    # (the wide engine's dominant cost); pass 1 keeps 128 — its sf
+    # shadow staging buffers would push VMEM near the cap at 256
+    cr = int(os.environ.get("MWF_WIDE_CR", 0)) or \
+        (256 if not is_p1 and wr % 256 == 0 else 128)
     spec = ww.WSpec(
-        B=B, WR=bk.W // 128, S_CAP=bk.S_CAP,
+        B=B, WR=wr, S_CAP=bk.S_CAP,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
         mode=wk.MODE_PASS1 if is_p1 else wk.MODE_SCORE, cpw=cpw,
         max_s=0 if is_p1 else opt.max_s,
         max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
         n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0,
-        nseg=wk.nseg_for(mx, cpw))
+        nseg=wk.nseg_for(mx, cpw), cr=cr if wr % cr == 0 else 128)
     if is_p1:
         nring = wk.snapshot_layout(spec.kspec())[5]
         per_lane = (spec.n_snap + 1) * nring * (spec.WR + 8) * 128 * 4

@@ -70,8 +70,8 @@ from .wavefront_kernel import (
     KSpec, snapshot_layout, transition_values, _ages,
 )
 
-CR = 128          # staging chunk rows (== NTAB: the refill gather width)
-CRB = CR + 8      # chunk rows + p-side halo
+CR_GRAIN = 128    # minimum staging chunk rows (== NTAB, the refill
+                  # gather width); WSpec.cr may raise it in multiples
 
 # ---- resumable-call protocol (run_chunked) ------------------------------
 # The axon-tunnelled TPU worker kills any single device call that runs
@@ -127,6 +127,7 @@ class WSpec:
     step: int = 0
     n_snap: int = 0
     nseg: int = 1
+    cr: int = 128    # staging chunk rows (multiple of CR_GRAIN, divides WR)
 
     @property
     def W(self) -> int:
@@ -146,10 +147,12 @@ class WSpec:
 
 
 def build_kernel_wide(spec: WSpec):
-    if spec.WR % CR:
+    CR = spec.cr
+    CRB = CR + 8
+    if CR % CR_GRAIN or spec.WR % CR:
         raise ValueError(
-            f"WSpec.WR={spec.WR} must be a multiple of the staging chunk "
-            f"CR={CR} (W a multiple of {CR * 128})")
+            f"WSpec.cr={CR} must be a multiple of {CR_GRAIN} and divide "
+            f"WR={spec.WR}")
     if spec.mode not in (MODE_SCORE, MODE_PASS1):
         raise ValueError("wide engine serves MODE_SCORE and MODE_PASS1 only")
     WR, W = spec.WR, spec.W
@@ -415,23 +418,33 @@ def build_kernel_wide(spec: WSpec):
             aQloc = jnp.clip(aQ - csq * SEGSTRIDE, 0, NTAB - 1)
             twt = twtv[:]
             twq = twqv[:]
-            idxT = jnp.broadcast_to(aTloc.T, (NTAB, NTAB))
-            idxQ = jnp.broadcast_to(aQloc.T, (NTAB, NTAB))
-            idxT1 = jnp.broadcast_to(
-                jnp.minimum(aTloc + 1, NTAB - 1).T, (NTAB, NTAB))
-            idxQ1 = jnp.broadcast_to(
-                jnp.minimum(aQloc + 1, NTAB - 1).T, (NTAB, NTAB))
 
-            def fill(p, tw, idx):
-                g0 = jnp.take_along_axis(tw[0:64], idx[0:64], axis=1)
-                g1 = jnp.take_along_axis(tw[64:128], idx[64:128], axis=1)
-                wtmp[:] = jnp.concatenate([g0, g1], 0).T
-                sES[pb, p] = jnp.where(mrow, wtmp[0:CR], sES[pb, p])
+            # the gather trick packs NTAB row-windows per [NTAB, NTAB]
+            # take; CR > NTAB chunks fill in NTAB-row sub-blocks
+            for h in range(CR // NTAB):
+                sl = pl.ds(h * NTAB, NTAB)
+                aTh = aTloc[h * NTAB:(h + 1) * NTAB]
+                aQh = aQloc[h * NTAB:(h + 1) * NTAB]
+                mrh = mrow[h * NTAB:(h + 1) * NTAB]
+                idxT = jnp.broadcast_to(aTh.T, (NTAB, NTAB))
+                idxQ = jnp.broadcast_to(aQh.T, (NTAB, NTAB))
+                idxT1 = jnp.broadcast_to(
+                    jnp.minimum(aTh + 1, NTAB - 1).T, (NTAB, NTAB))
+                idxQ1 = jnp.broadcast_to(
+                    jnp.minimum(aQh + 1, NTAB - 1).T, (NTAB, NTAB))
 
-            fill(E_WTA, twt, idxT)
-            fill(E_WTB, twt, idxT1)
-            fill(E_WQA, twq, idxQ)
-            fill(E_WQB, twq, idxQ1)
+                def fill(p, tw, idx):
+                    g0 = jnp.take_along_axis(tw[0:64], idx[0:64], axis=1)
+                    g1 = jnp.take_along_axis(tw[64:128], idx[64:128],
+                                             axis=1)
+                    wtmp[:] = jnp.concatenate([g0, g1], 0).T
+                    sES[pb, p, sl] = jnp.where(mrh, wtmp[0:NTAB],
+                                               sES[pb, p, sl])
+
+                fill(E_WTA, twt, idxT)
+                fill(E_WTB, twt, idxT1)
+                fill(E_WQA, twq, idxQ)
+                fill(E_WQB, twq, idxQ1)
 
         def probe_side(pb, pa, pb_, pbase, pos):
             j = jnp.right_shift(pos, LOGC)

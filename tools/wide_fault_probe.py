@@ -26,7 +26,7 @@ def pair_div(n, div, seed=1):
     return conv[t].tobytes(), conv[q].tobytes()
 
 
-def run(WR, S_CAP, max_s, n, div, seed=1, B=1):
+def run(WR, S_CAP, max_s, n, div, seed=1, B=1, cr=128):
     import jax
     from miniwfa_tpu.ops import wavefront_kernel as wk
     from miniwfa_tpu.ops import wavefront_wide as ww
@@ -36,7 +36,7 @@ def run(WR, S_CAP, max_s, n, div, seed=1, B=1):
     cpw = 16 if pack.can_pack2([ts, qs]) else 4
     spec = ww.WSpec(B=B, WR=WR, S_CAP=S_CAP, mode=wk.MODE_SCORE,
                     cpw=cpw, max_s=max_s, x=4, o1=4, e1=2, o2=15, e2=1,
-                    nseg=wk.nseg_for(max(len(ts), len(qs)), cpw))
+                    nseg=wk.nseg_for(max(len(ts), len(qs)), cpw), cr=cr)
     scal = np.zeros((B, wk.SC_ANC + 1), np.int32)
     scal[:, :3] = [len(ts), len(qs), (len(qs) - len(ts)) // 2 - spec.W // 2]
     fn = ww.get_kernel_wide(spec)
@@ -83,6 +83,11 @@ PROBES = {
     # in one call (~4x its single-call device time, same per-lane work)
     "b4x150k": dict(WR=8192, S_CAP=163840, max_s=150_000, n=5_000_000,
                     div=0.012, B=4),
+    # staging-chunk A/B on the 2 Mb full run
+    "d256": dict(WR=4096, S_CAP=262144, max_s=0, n=2_000_000, div=0.012,
+                 cr=256),
+    "d512": dict(WR=4096, S_CAP=262144, max_s=0, n=2_000_000, div=0.012,
+                 cr=512),
 }
 
 
