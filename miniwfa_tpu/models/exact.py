@@ -154,7 +154,10 @@ def _kernel_eligible(opt: Options, mode: int, bk: _Buckets,
 # (CR=128 rows -> W multiple of 16384); the pow2 bucket ladder satisfies it.
 WIDE_W_CAP = 1 << 20
 # snapshot HBM budget per wide pass-1 lane ((n_snap+1) ring-layout rows)
-WIDE_SNAP_BUDGET = int(os.environ.get("MWF_WIDE_SNAP_GB", "10")) << 30
+# 8 GiB: leaves room for the ring/top/window planes and runtime
+# reserves on a 16 GB chip (10 GiB measured RESOURCE_EXHAUSTED at
+# W=2^20 with the rest of the working set)
+WIDE_SNAP_BUDGET = int(os.environ.get("MWF_WIDE_SNAP_GB", "8")) << 30
 
 
 def _wide_eligible(opt: Options, mode: int, bk: _Buckets,
@@ -197,6 +200,23 @@ def _run_device_wide(opt: Options, mode: int, bk: _Buckets,
     # shadow staging buffers would push VMEM near the cap at 256
     cr = int(os.environ.get("MWF_WIDE_CR", 0)) or \
         (256 if not is_p1 and wr % 256 == 0 else 128)
+    n_snap_full = (bk.S_CAP // opt.step + 2) if is_p1 else 0
+    n_snap0 = n_snap_full
+    chunked = jax.default_backend() == "tpu" and os.environ.get(
+        "MWF_ENGINE") not in ("kernel-interpret", "wide-interpret")
+    if is_p1 and chunked:
+        # the no-preflight sizing sets S_CAP from the window bound, not
+        # the (unknown) score, so the full row count can exceed the HBM
+        # budget: clip to it upfront — run_chunked's on-demand growth is
+        # the backstop, and a genuinely over-budget score still raises
+        # there with the same message
+        from ..ops import wavefront_kernel as wk2
+        nring = wk2.snapshot_layout(wk2.KSpec(
+            B=1, WR=wr, S_CAP=bk.S_CAP, x=opt.x, o1=opt.o1, e1=opt.e1,
+            o2=opt.o2, e2=opt.e2))[5]
+        row_bytes = nring * (wr + 8) * 128 * 4
+        budget_rows = max(8, WIDE_SNAP_BUDGET // row_bytes - 1)
+        n_snap0 = min(n_snap_full, budget_rows)
     spec = ww.WSpec(
         B=B, WR=wr, S_CAP=bk.S_CAP,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
@@ -204,7 +224,7 @@ def _run_device_wide(opt: Options, mode: int, bk: _Buckets,
         max_s=0 if is_p1 else opt.max_s,
         max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
-        n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0,
+        n_snap=n_snap0,
         nseg=wk.nseg_for(mx, cpw), cr=cr if wr % cr == 0 else 128)
     if is_p1:
         nring = wk.snapshot_layout(spec.kspec())[5]
@@ -396,36 +416,56 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
     idx = list(range(len(ts_list)))
     segs: List[Optional[Seg]] = [None] * len(ts_list)
     s_fin: List[int] = [0] * len(ts_list)
-    preflighted = False
+    preflighted = False   # guard flag: a preflight score exists to check
+    sized = False         # wide-territory window sizing done
     while idx:
-        if not preflighted and bk.W > 32768 and \
+        if not sized and bk.W > 32768 and \
                 jax.default_backend() == "tpu":
-            # Wide-engine pass-1 territory: each laddered attempt drags
-            # multi-GB snapshot buffers and re-runs up to S_CAP cycles.
-            # Learn each lane's exact score with a score-only run (~2x
-            # cheaper per cycle, no snapshots) and size ONE real pass-1
-            # dispatch precisely: W >= band at termination (the band
-            # grows +-1/cycle from width 1, so <= 2s+1, plus the
-            # diagonal offset and ring padding), S_CAP = s + margin.
-            preflighted = True
-            sopt = opt.replace(cigar=False, step=0, max_s=0, max_iter=0)
-            sres = align_batch([(ts_list[i], qs_list[i]) for i in idx],
-                               sopt, w0=bk.W, s0=bk.S_CAP)
-            smax = max(r.s for r in sres)
-            for j, i in enumerate(idx):
-                s_fin[i] = sres[j].s
-            d_span = max(abs(len(qs_list[i]) - len(ts_list[i]))
-                         for i in idx)
-            w_need = 2 * smax + d_span + 4 * ns + 64
-            s_need = -(-(smax + 8) // 4096) * 4096
-            if w_need > w_cap:
-                raise RuntimeError(
-                    f"low-mem pass-1 band ({w_need}) exceeds the device "
-                    f"limit (cap {w_cap}) — use the chain or auto mode "
-                    f"for this pair, or the CPU backend")
-            bk = _Buckets(bk.B, bk.LT, bk.LQ,
-                          max(-(-w_need // 16384) * 16384, bk.W),
-                          min(s_need, bk.S_full), bk.W_full, bk.S_full)
+            # Wide-engine pass-1 territory: laddered attempts would drag
+            # multi-GB snapshot buffers and re-run up to S_CAP cycles.
+            sized = True
+            if os.environ.get("MWF_LOWMEM_PREFLIGHT"):
+                # optional score-only preflight: sizes the dispatch
+                # exactly AND cross-checks pass 1's score against an
+                # independent run (the overflow/mismatch guards below)
+                preflighted = True
+                sopt = opt.replace(cigar=False, step=0, max_s=0,
+                                   max_iter=0)
+                sres = align_batch(
+                    [(ts_list[i], qs_list[i]) for i in idx],
+                    sopt, w0=bk.W, s0=bk.S_CAP)
+                smax = max(r.s for r in sres)
+                for j, i in enumerate(idx):
+                    s_fin[i] = sres[j].s
+                d_span = max(abs(len(qs_list[i]) - len(ts_list[i]))
+                             for i in idx)
+                w_need = 2 * smax + d_span + 4 * ns + 64
+                s_need = -(-(smax + 8) // 4096) * 4096
+                if w_need > w_cap:
+                    raise RuntimeError(
+                        f"low-mem pass-1 band ({w_need}) exceeds the "
+                        f"device limit (cap {w_cap}) — use the chain or "
+                        f"auto mode for this pair, or the CPU backend")
+                bk = _Buckets(bk.B, bk.LT, bk.LQ,
+                              max(-(-w_need // 16384) * 16384, bk.W),
+                              min(s_need, bk.S_full), bk.W_full,
+                              bk.S_full)
+            else:
+                # default: size the window at the largest band the pair
+                # can ever reach (clipped to [-tl,ql]) — wide-engine
+                # cycles sweep only live-band chunks, so oversizing W
+                # costs just HBM + one init sweep, and the snapshot
+                # buffer starts small and grows on demand between
+                # resumable calls (run_chunked).  This removes a whole
+                # score-pass of preflight work per low-mem alignment.
+                band_max = -(-(bk.LT + bk.LQ + 2 * ns + 64) // 16384) \
+                    * 16384
+                w_need = min(band_max, w_cap)
+                # band overflow at ~W/2 bounds the reachable score
+                s_need = -(-(w_need // 2 + 4 * ns + 64) // 4096) * 4096
+                bk = _Buckets(bk.B, bk.LT, bk.LQ, max(w_need, bk.W),
+                              min(s_need, bk.S_full), bk.W_full,
+                              bk.S_full)
         cap = _pass1_lane_cap(opt, bk)
         chunk, idx_rest = idx[:cap], idx[cap:]
         bk = _Buckets(_next_pow2(max(1, len(chunk))), bk.LT, bk.LQ, bk.W,

@@ -263,9 +263,13 @@ def _get_chain(cap: int):
     def chain(snap, last0, cnt):
         """Pointer-jump the snapshot rows newest->oldest on-device
         (reference wf_traceback_seg, miniwfa.c:528-549): snap [B, cap,
-        NPWP], last0/cnt [B].  Returns (final carry [B], recs [cap, B]
-        where recs[i] is the chain pointer AT row c = cap-1-i, -3 for
-        rows past cnt)."""
+        ...] (trailing dims flattened HERE, inside jit, where the
+        reshape is a free bitcast — an eager reshape of a multi-GB
+        buffer materializes a copy), last0/cnt [B].  Returns (final
+        carry [B], recs [cap, B] where recs[i] is the chain pointer AT
+        row c = cap-1-i, -3 for rows past cnt)."""
+        snap = snap.reshape(snap.shape[0], cap, -1)
+
         def step(last, c):
             row = lax.dynamic_index_in_dim(snap, c, axis=1,
                                            keepdims=False)   # [B, NPWP]

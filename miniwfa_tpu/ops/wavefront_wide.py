@@ -1155,10 +1155,11 @@ def _res_dict(spec: WSpec, o: np.ndarray, snap) -> dict:
         last_state=o[:, O_LS], n_iter_lo=o[:, O_NLO],
         n_iter_hi=o[:, O_NHI])
     if spec.mode == MODE_PASS1:
-        NRING = snapshot_layout(spec.kspec())[5]
-        WRT = spec.WR + 8
-        res["snap"] = snap.reshape(
-            spec.B, spec.n_snap + 1, NRING * WRT * 128)
+        # NO host-level reshape: at 5 Mb scale the snapshot buffer is
+        # ~8 GB and an eager reshape materializes a second copy (OOM);
+        # consumers flatten the trailing dims inside their own jit
+        # (free bitcast) or in numpy after fetching a row
+        res["snap"] = snap
         res["snap_cnt"] = o[:, O_SNC]
         res["last_ptr"] = o[:, O_LP]
     return res
@@ -1205,6 +1206,7 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
     state = _zero_state(spec)
     live = np.ones(spec.B, bool)
     final = np.zeros((spec.B, out_width(spec)), np.int32)
+    snap_budget = int(os.environ.get("MWF_WIDE_SNAP_GB", "8")) << 30
     while True:
         n_act = max(1, int(live.sum()))
         cyc = max(1, int(budget_cycles) // n_act)
@@ -1216,6 +1218,33 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
                           ).astype(np.int64))
         full[:, RS_LIM] = np.where(
             live, np.minimum(t_lim, spec.S_CAP), 0).astype(np.int32)
+        if spec.mode == MODE_PASS1 and not no_watchdog and spec.step:
+            # grow the snapshot buffer ahead of need (pause boundaries
+            # let the buffer start small — ~60 rows covers the 5 Mb
+            # headline — instead of allocating S_CAP/step rows upfront)
+            per_call = int((np.where(live, t_lim, t_now) - t_now).max())
+            need = int(full[live, RS_SNC].max(initial=0)) \
+                + per_call // spec.step + 3
+            if need > spec.n_snap:
+                import dataclasses
+                NRING = snapshot_layout(spec.kspec())[5]
+                WRT = spec.WR + 8
+                row_b = NRING * WRT * 128 * 4
+                n2 = max(need, spec.n_snap * 3 // 2)
+                if (n2 + 1) * row_b > snap_budget:
+                    n2 = need   # exact need before giving up
+                if (n2 + 1) * row_b > snap_budget:
+                    raise RuntimeError(
+                        f"low-mem snapshot buffer "
+                        f"{(n2 + 1) * row_b / 2**30:.1f} GiB/lane at "
+                        f"step={spec.step}, W={spec.W} exceeds the "
+                        f"{snap_budget/2**30:.0f} GiB budget — use a "
+                        f"larger step or the chain mode")
+                pad = jnp.zeros((spec.B, n2 - spec.n_snap, NRING, WRT,
+                                 128), jnp.int32)
+                state[4] = jnp.concatenate([state[4], pad], axis=1)
+                spec = dataclasses.replace(spec, n_snap=n2)
+                fn = _get_call(spec, interpret)
         outs = fn(jnp.asarray(full), twt, twq, *state)
         o = np.asarray(outs[0])
         state = list(outs[1:])
@@ -1238,5 +1267,6 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
                                 (RS_SNC, O_SNC)):
             full[:, col_in] = o[:, col_out]
         full[:, RS_BND:RS_BND + 2 * DH] = o[:, OW_BND:OW_BND + 2 * DH]
-    return _res_dict(spec, final,
-                     state[4] if spec.mode == MODE_PASS1 else None)
+    snap = state[4] if spec.mode == MODE_PASS1 else None
+    del state, outs   # free the ring/top/window planes before decode
+    return _res_dict(spec, final, snap)
