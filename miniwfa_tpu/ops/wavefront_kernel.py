@@ -295,10 +295,11 @@ def build_kernel(spec: KSpec):
          tH, tE1, tF1, tE2, tF2,
          wta, wtb, wqa, wqb, baT, baQ,
          pbits, tbrow, sem_tb, dm,
-         twtv, twqv, cs, sem2, wtmp, bnd_lo, bnd_hi) = refs[:29]
+         twtv, twqv, cs, sem2, wtmp, bnd_lo, bnd_hi,
+         sun) = refs[:30]
         if is_p1:
             (sH, sE1, sF1, sE2, sF2,
-             tHs, tE1s, tF1s, tE2s, tF2s, sem_sn) = refs[29:]
+             tHs, tE1s, tF1s, tE2s, tF2s, sem_sn) = refs[30:]
 
         b = pl.program_id(0)
         tl = scal_ref[b, SC_TL]
@@ -459,93 +460,122 @@ def build_kernel(spec: KSpec):
                 fill(wtb, twt, idxT1)
                 fill(wqb, twq, idxQ1)
 
-        def probe_side(ro, win_a, win_b, base, pos):
-            """16/4-char probe word at char ``pos`` from the row window.
+        def probe_side(roff, R, win_a, win_b, base, pos):
+            """16/4-char probe word at char ``pos`` from the row window
+            ([R, 128] rows at dynamic row offset roff).
             Returns (chars, n_valid, in_window, word_idx)."""
             j = jnp.right_shift(pos, LOGC)
-            c = j - base[pl.ds(ro, CR)]
+            c = j - base[pl.ds(roff, R)]
             in_win = (c >= 0) & (c < EXTB * NTAB)
             if EXTB == 1:
                 ca = jnp.clip(c, 0, NTAB - 1)
-                w0 = jnp.take_along_axis(win_a[pl.ds(ro, CR)], ca, axis=1)
+                w0 = jnp.take_along_axis(win_a[pl.ds(roff, R)], ca, axis=1)
             else:
                 cc = jnp.clip(c, 0, 2 * NTAB - 1)
                 ca = jnp.minimum(cc, NTAB - 1)
                 cb = jnp.clip(cc - NTAB, 0, NTAB - 1)
-                ga = jnp.take_along_axis(win_a[pl.ds(ro, CR)], ca, axis=1)
-                gb = jnp.take_along_axis(win_b[pl.ds(ro, CR)], cb, axis=1)
+                ga = jnp.take_along_axis(win_a[pl.ds(roff, R)], ca, axis=1)
+                gb = jnp.take_along_axis(win_b[pl.ds(roff, R)], cb, axis=1)
                 w0 = jnp.where(cc < NTAB, ga, gb)
             off = jnp.bitwise_and(pos, CPW - 1)
             chars = jnp.right_shift(w0.astype(jnp.uint32),
                                     (off * BITS).astype(jnp.uint32))
             return chars, CPW - off, in_win, j
 
+        def probe_once(roff, R, DDw, k, un):
+            """One 16/4-char probe over [R,128] rows at offset roff;
+            advances k of active in-window lanes, clears resolved."""
+            pos_t = k + 1
+            pos_q = DDw + k + 1
+            cht, nvt, inwt, jT = probe_side(roff, R, wta, wtb, baT, pos_t)
+            chq, nvq, inwq, jQ = probe_side(roff, R, wqa, wqb, baQ, pos_q)
+            inw = inwt & inwq
+            nv = jnp.minimum(nvt, nvq)
+            x = jnp.bitwise_xor(cht, chq).astype(jnp.int32)
+            # chars at c >= nv are shifted-in garbage: force mismatch
+            shv = (nv * BITS).astype(jnp.uint32)
+            tail = jnp.where(nv >= CPW, jnp.uint32(0),
+                             jnp.left_shift(jnp.uint32(0xFFFFFFFF), shv))
+            xf = x | tail.astype(jnp.int32)
+            run = jnp.where(xf == 0, nv, ctz_chars(xf))
+            cap = jnp.minimum(tl - 1 - k, ql - 1 - (DDw + k))
+            cap = jnp.maximum(cap, 0)
+            adv = jnp.minimum(run, cap)
+            act = un & inw
+            k = jnp.where(act, k + adv, k)
+            resolved = act & ((run < nv) | (adv >= cap))
+            return k, un & ~resolved
+
+        SR = 8   # straggler sub-window rows (one VPU sublane tile)
+
         def extend(ro, DDc, k, elig):
             """Chunk LCP extension; returns advanced k.  Mirrors the
             per-diagonal semantics of miniwfa.c:212-226 with the advance
-            capped at the matrix edge (no sentinels)."""
+            capped at the matrix edge (no sentinels).
+
+            Two phases: one unrolled full-chunk round resolves ~95% of
+            lanes; the remaining long-run/needy lanes iterate over a
+            dynamically-offset SR-row sub-window (the round count is a
+            max over lanes, so one long match run used to re-probe the
+            whole chunk at full width every round)."""
             if _os.environ.get("MWF_KDBG_NOEXT"):
                 # profiling knob: no extension at all (breaks parity;
                 # bound the run with max_s) — isolates probe-loop cost
                 return k, jnp.zeros((), bool)
-            max_rounds = 1 if _os.environ.get("MWF_KDBG_EXT1") \
-                else MAXR_SAFETY
-            # probes per while-round: each iteration pays loop/cond/carry
-            # bookkeeping ONCE for EXT_UNROLL 16-char probes, and the
-            # round count is a max over the chunk's 8k lanes (a long
-            # match run anywhere re-probes the whole chunk)
             unroll = int(_os.environ.get("MWF_EXT_UNROLL", "3"))
 
-            def cond(c):
-                return jnp.any(c[1] != 0) & (c[2] < max_rounds)
+            un = elig
+            for _ in range(unroll):
+                k, un = probe_once(ro, CR, DDc, k, un)
+            tH[pl.ds(ro, CR)] = k
+            sun[:] = un.astype(jnp.int32)
 
-            def probe_once(k, un):
-                pos_t = k + 1
-                pos_q = DDc + k + 1
-                cht, nvt, inwt, jT = probe_side(ro, wta, wtb, baT, pos_t)
-                chq, nvq, inwq, jQ = probe_side(ro, wqa, wqb, baQ, pos_q)
-                inw = inwt & inwq
-                nv = jnp.minimum(nvt, nvq)
-                x = jnp.bitwise_xor(cht, chq).astype(jnp.int32)
-                # chars at c >= nv are shifted-in garbage: force mismatch
-                shv = (nv * BITS).astype(jnp.uint32)
-                tail = jnp.where(nv >= CPW, jnp.uint32(0),
-                                 jnp.left_shift(jnp.uint32(0xFFFFFFFF), shv))
-                xf = x | tail.astype(jnp.int32)
-                run = jnp.where(xf == 0, nv, ctz_chars(xf))
-                cap = jnp.minimum(tl - 1 - k, ql - 1 - (DDc + k))
-                cap = jnp.maximum(cap, 0)
-                adv = jnp.minimum(run, cap)
-                act = un & inw
-                k = jnp.where(act, k + adv, k)
-                resolved = act & ((run < nv) | (adv >= cap))
-                return k, un & ~resolved
-
-            def body(c):
-                k, un_i, rnd = c
-                un = un_i != 0   # i1 vectors can't be loop carries (Mosaic)
-                for _ in range(unroll):
-                    k, un = probe_once(k, un)
-                # needy = unresolved lanes whose NEXT probe would leave
-                # the window at the ADVANCED position (the refill elects
-                # windows covering where they will probe next)
-                jT2 = jnp.right_shift(k + 1, LOGC)
-                jQ2 = jnp.right_shift(DDc + k + 1, LOGC)
+            def chunk_refill():
+                """Refill every unresolved-and-out-of-window lane of the
+                chunk (window bases/needs recomputed from tH/sun)."""
+                kf = tH[pl.ds(ro, CR)]
+                unf = sun[:] != 0
+                jT2 = jnp.right_shift(kf + 1, LOGC)
+                jQ2 = jnp.right_shift(DDc + kf + 1, LOGC)
                 cT = jT2 - baT[pl.ds(ro, CR)]
                 cQ = jQ2 - baQ[pl.ds(ro, CR)]
                 inw2 = (cT >= 0) & (cT < EXTB * NTAB) \
                     & (cQ >= 0) & (cQ < EXTB * NTAB)
-                needy = un & ~inw2
+                needy = unf & ~inw2
 
                 @pl.when(jnp.any(needy))
                 def _():
                     refill(ro, needy, jT2, jQ2)
-                return k, un.astype(jnp.int32), rnd + 1
+                return jnp.any(unf)
 
-            k, un_i, rnd = lax.while_loop(
-                cond, body, (k, elig.astype(jnp.int32), jnp.int32(0)))
+            any_un = chunk_refill()
+
+            if _os.environ.get("MWF_KDBG_EXT1"):
+                return tH[pl.ds(ro, CR)], jnp.zeros((), bool)
+
+            def cond(c):
+                return (c[0] != 0) & (c[1] < MAXR_SAFETY)
+
+            def body(c):
+                _, rnd = c
+                un_f = sun[:] != 0
+                r_loc = jnp.clip(
+                    jnp.min(jnp.where(un_f, iota2(CR, 0), CR)), 0, CR - SR)
+                r_abs = ro + r_loc
+                k8 = tH[pl.ds(r_abs, SR)]
+                un8 = sun[pl.ds(r_loc, SR)] != 0
+                DD8 = anc + r_abs * 128 + iota2(SR, 0) * 128 + iota2(SR, 1)
+                for _ in range(2):
+                    k8, un8 = probe_once(r_abs, SR, DD8, k8, un8)
+                tH[pl.ds(r_abs, SR)] = k8
+                sun[pl.ds(r_loc, SR)] = un8.astype(jnp.int32)
+                alive = chunk_refill()
+                return alive.astype(jnp.int32), rnd + 1
+
+            any_i, rnd = lax.while_loop(
+                cond, body, (any_un.astype(jnp.int32), jnp.int32(0)))
             stuck = rnd >= MAXR_SAFETY
-            return k, stuck
+            return tH[pl.ds(ro, CR)], stuck
 
         def good_diag(v, DDc):
             """k in [-1, tl) and d+k in [-1, ql) (miniwfa.c:139-171)."""
@@ -1030,6 +1060,7 @@ def build_kernel(spec: KSpec):
         pltpu.VMEM((NTAB, NTAB), jnp.int32),      # wtmp (masked-fill temp)
         pltpu.SMEM((DH,), jnp.int32),             # bnd_lo (score-band reg)
         pltpu.SMEM((DH,), jnp.int32),             # bnd_hi
+        pltpu.VMEM((CR, 128), jnp.int32),         # sun (ext unresolved)
     ]
     if is_p1:
         scratch += [
