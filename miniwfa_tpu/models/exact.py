@@ -375,8 +375,11 @@ def _n_iter_of(out, i: int) -> int:
 
 # snapshot-buffer budget per pass-1 device call; lanes are chunked so that
 # B * n_snap * NS*5*W * 4 bytes stays under this (the strided snapshot layout
-# trades memory for static shapes — see ops/wavefront.py)
-PASS1_SNAP_BUDGET = 1 << 30
+# trades memory for static shapes — see ops/wavefront.py).  6 GiB default:
+# tiny steps (reference -p1) legitimately need GiB-scale stripes — the
+# reference simply uses host RAM for them (README.md:60-64) — and the
+# VMEM kernel's other buffers are small, so most of HBM is available.
+PASS1_SNAP_BUDGET = int(os.environ.get("MWF_SNAP_GB", "6")) << 30
 
 
 def _pass1_lane_cap(opt: Options, bk: _Buckets) -> int:

@@ -559,8 +559,11 @@ def build_kernel(spec: KSpec):
             def body(c):
                 _, rnd = c
                 un_f = sun[:] != 0
+                # sublane-tile-aligned offset: dynamic sublane slices
+                # must start on the (8,128) tile grid on real hardware
                 r_loc = jnp.clip(
-                    jnp.min(jnp.where(un_f, iota2(CR, 0), CR)), 0, CR - SR)
+                    (jnp.min(jnp.where(un_f, iota2(CR, 0), CR)) // SR)
+                    * SR, 0, CR - SR)
                 r_abs = ro + r_loc
                 k8 = tH[pl.ds(r_abs, SR)]
                 un8 = sun[pl.ds(r_loc, SR)] != 0

@@ -446,52 +446,68 @@ def build_kernel_wide(spec: WSpec):
                 fill(E_WQA, twq, idxQ)
                 fill(E_WQB, twq, idxQ1)
 
-        def probe_side(pb, pa, pb_, pbase, pos):
+        def probe_side(pb, r_loc, R, pa, pb_, pbase, pos):
             j = jnp.right_shift(pos, LOGC)
-            c = j - sES[pb, pbase]
+            c = j - sES[pb, pbase, pl.ds(r_loc, R)]
             in_win = (c >= 0) & (c < 2 * NTAB)
             cc = jnp.clip(c, 0, 2 * NTAB - 1)
             ca = jnp.minimum(cc, NTAB - 1)
             cb = jnp.clip(cc - NTAB, 0, NTAB - 1)
-            ga = jnp.take_along_axis(sES[pb, pa], ca, axis=1)
-            gb = jnp.take_along_axis(sES[pb, pb_], cb, axis=1)
+            ga = jnp.take_along_axis(sES[pb, pa, pl.ds(r_loc, R)], ca,
+                                     axis=1)
+            gb = jnp.take_along_axis(sES[pb, pb_, pl.ds(r_loc, R)], cb,
+                                     axis=1)
             w0 = jnp.where(cc < NTAB, ga, gb)
             off = jnp.bitwise_and(pos, CPW - 1)
             chars = jnp.right_shift(w0.astype(jnp.uint32),
                                     (off * BITS).astype(jnp.uint32))
             return chars, CPW - off, in_win, j
 
-        def extend(pb, DDc, k, elig):
+        def probe_once(pb, r_loc, R, DDw, k, un):
+            pos_t = k + 1
+            pos_q = DDw + k + 1
+            cht, nvt, inwt, jT = probe_side(
+                pb, r_loc, R, E_WTA, E_WTB, E_BAT, pos_t)
+            chq, nvq, inwq, jQ = probe_side(
+                pb, r_loc, R, E_WQA, E_WQB, E_BAQ, pos_q)
+            inw = inwt & inwq
+            nv = jnp.minimum(nvt, nvq)
+            x = jnp.bitwise_xor(cht, chq).astype(jnp.int32)
+            shv = (nv * BITS).astype(jnp.uint32)
+            tail = jnp.where(nv >= CPW, jnp.uint32(0),
+                             jnp.left_shift(jnp.uint32(0xFFFFFFFF), shv))
+            xf = x | tail.astype(jnp.int32)
+            run = jnp.where(xf == 0, nv, ctz_chars(xf))
+            cap = jnp.minimum(tl - 1 - k, ql - 1 - (DDw + k))
+            cap = jnp.maximum(cap, 0)
+            adv = jnp.minimum(run, cap)
+            act = un & inw
+            k = jnp.where(act, k + adv, k)
+            resolved = act & ((run < nv) | (adv >= cap))
+            return k, un & ~resolved
+
+        def extend(pb, ro, DDc, k, elig):
+            """Chunk LCP extension (value-carried k, full-chunk rounds).
+            The VMEM engine's straggler sub-window loop is NOT used
+            here: wide-engine cycles are DMA-staging-dominated, and the
+            ported sub-window loop deterministically livelocked on real
+            hardware at the first word-table segment rotation (interpret
+            mode passes — undiagnosed Mosaic lowering difference; see
+            PERF_NOTES).  This is the original proven loop."""
             def cond(c):
                 return jnp.any(c[1] != 0) & (c[2] < MAXR_SAFETY)
 
             def body(c):
                 k, un_i, rnd = c
                 un = un_i != 0
-                pos_t = k + 1
-                pos_q = DDc + k + 1
-                cht, nvt, inwt, jT = probe_side(
-                    pb, E_WTA, E_WTB, E_BAT, pos_t)
-                chq, nvq, inwq, jQ = probe_side(
-                    pb, E_WQA, E_WQB, E_BAQ, pos_q)
-                inw = inwt & inwq
-                nv = jnp.minimum(nvt, nvq)
-                x = jnp.bitwise_xor(cht, chq).astype(jnp.int32)
-                shv = (nv * BITS).astype(jnp.uint32)
-                tail = jnp.where(nv >= CPW, jnp.uint32(0),
-                                 jnp.left_shift(jnp.uint32(0xFFFFFFFF), shv))
-                xf = x | tail.astype(jnp.int32)
-                run = jnp.where(xf == 0, nv, ctz_chars(xf))
-                cap = jnp.minimum(tl - 1 - k, ql - 1 - (DDc + k))
-                cap = jnp.maximum(cap, 0)
-                adv = jnp.minimum(run, cap)
-                act = un & inw
-                k = jnp.where(act, k + adv, k)
-                resolved = act & ((run < nv) | (adv >= cap))
-                un = un & ~resolved
-                needy = un & ~inw
+                k, un = probe_once(pb, 0, CR, DDc, k, un)
                 jT2 = jnp.right_shift(k + 1, LOGC)
                 jQ2 = jnp.right_shift(DDc + k + 1, LOGC)
+                cT = jT2 - sES[pb, E_BAT]
+                cQ = jQ2 - sES[pb, E_BAQ]
+                inw2 = (cT >= 0) & (cT < 2 * NTAB) \
+                    & (cQ >= 0) & (cQ < 2 * NTAB)
+                needy = un & ~inw2
 
                 @pl.when(jnp.any(needy))
                 def _():
@@ -558,7 +574,7 @@ def build_kernel_wide(spec: WSpec):
                 in_top = (DDc >= t_lo) & (DDc <= t_hi)
                 elig = in_top & (k_old >= -1) & (DDc + k_old >= -1) \
                     & (k_old < tl) & (DDc + k_old < ql)
-                k_new, stuck = extend(pb, DDc, k_old, elig)
+                k_new, stuck = extend(pb, ro, DDc, k_old, elig)
                 k_new = jnp.where(elig, k_new, k_old)
                 sTOP[pb, T_H, pl.ds(0, CR)] = k_new
                 at_end = elig & (DDc == d_end)
