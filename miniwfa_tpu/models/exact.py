@@ -542,6 +542,9 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
                            bool(fetched["ovf_scap"][: len(idx)].any()))
             bk = _Buckets(_next_pow2(max(1, len(retry))), bk.LT, bk.LQ,
                           min(bk.W, w_cap), bk.S_CAP, bk.W_full, bk.S_full)
+        # free the snapshot buffer (multi-GB at 5 Mb scale) BEFORE the
+        # next dispatch — pass 2's tb buffer must not coexist with it
+        out = ptr_recs = ptr_fin = snap_x = None
         idx = retry + idx_rest
     return segs, s_fin  # type: ignore[return-value]
 

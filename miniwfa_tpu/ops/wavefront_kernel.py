@@ -559,10 +559,25 @@ def build_kernel(spec: KSpec):
             def body(c):
                 _, rnd = c
                 un_f = sun[:] != 0
+                # pick the lowest unresolved row that can PROGRESS (its
+                # probe is in-window): a needy row whose word-table
+                # segment is not resident cannot advance until the
+                # refill's rotation brings its segment in, and choosing
+                # it would livelock the loop while fillable rows above
+                # starve (observed at nseg>1: the 5 Mb pass-2).  When no
+                # row is in-window, the refill below rotates segments
+                # and the probe round is a harmless no-op.
+                kf = tH[pl.ds(ro, CR)]
+                cTf = jnp.right_shift(kf + 1, LOGC) - baT[pl.ds(ro, CR)]
+                cQf = jnp.right_shift(DDc + kf + 1, LOGC) \
+                    - baQ[pl.ds(ro, CR)]
+                inw_f = (cTf >= 0) & (cTf < EXTB * NTAB) \
+                    & (cQf >= 0) & (cQf < EXTB * NTAB)
+                prog = un_f & inw_f
                 # sublane-tile-aligned offset: dynamic sublane slices
                 # must start on the (8,128) tile grid on real hardware
                 r_loc = jnp.clip(
-                    (jnp.min(jnp.where(un_f, iota2(CR, 0), CR)) // SR)
+                    (jnp.min(jnp.where(prog, iota2(CR, 0), CR)) // SR)
                     * SR, 0, CR - SR)
                 r_abs = ro + r_loc
                 k8 = tH[pl.ds(r_abs, SR)]
