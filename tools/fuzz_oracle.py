@@ -59,7 +59,7 @@ def gen_pair(rng: random.Random):
     """One random pair from a random regime; returns (ts, qs, regime)."""
     regime = rng.choice([
         "tiny", "small", "medium", "large", "bigdel", "bigins",
-        "homopoly", "dissimilar", "lowercase",
+        "homopoly", "dissimilar", "lowercase", "multiseg",
     ])
     bases = "ACGT"
 
@@ -113,6 +113,12 @@ def gen_pair(rng: random.Random):
         ts = "".join(rng.choice(bases) * rng.randint(1, 30)
                      for _ in range(rng.randint(2, 40)))
         qs = mut(ts, 0.05, 0.02, 10)
+    elif regime == "multiseg":
+        # > 254 kb at cpw=16: the kernels' segmented word tables rotate
+        # (nseg > 1) — the regime that catches resident-segment bugs
+        # (e.g. the straggler-window livelock, PERF_NOTES round 3)
+        ts = rand(rng.randint(270_000, 500_000))
+        qs = mut(ts, rng.uniform(0.002, 0.01), 0.001, 8)
     elif regime == "dissimilar":
         ts, qs = rand(rng.randint(50, 2000)), rand(rng.randint(50, 2000))
     else:  # lowercase / non-ACGT bytes (byte-packed path)
