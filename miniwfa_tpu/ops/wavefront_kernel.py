@@ -1168,6 +1168,7 @@ def get_kernel(spec: KSpec, interpret: bool = False):
     return run
 
 
+@functools.lru_cache(maxsize=64)
 def get_sharded_kernel(spec: KSpec, mesh, axis: str = "data",
                        interpret: bool = False):
     """The fused-cycle kernel SPMD over a device mesh: lanes shard across

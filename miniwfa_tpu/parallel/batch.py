@@ -138,7 +138,9 @@ def _run_sharded_kernel(opt: Options, mode: int, mesh, axis, ts_list,
         max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
         n_snap=(S_CAP // opt.step + 2) if is_p1 else 0,
-        nseg=wk.nseg_for(mx, cpw))
+        nseg=wk.nseg_for(mx, cpw),
+        # same sweep-chunk sizing as the local driver (models/exact.py)
+        cr=int(os.environ.get("MWF_KERNEL_CR", "64")))
     nsc = wk.SC_SEG + 2 * seg_cap
     scal = np.zeros((B, nsc), np.int32)
     for row, (t, q) in enumerate(zip(pad_t, pad_q)):
