@@ -607,10 +607,19 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         # pass 2 runs with the band collapsed to ≤ 2·step+1 at
         # checkpoints, and reaches exactly pass 1's optimal score — size
         # its cycle budget from that instead of the pow2 ladder (at 5 Mb
-        # scale a pow2 jump would double a multi-GB tb buffer)
+        # scale a pow2 jump would double a multi-GB tb buffer).  The
+        # band window takes the TIGHTER of the collapse bound and the
+        # uncollapsed 2s bound: when step > s no checkpoint ever fires
+        # and sizing from step alone would allocate a tb buffer for a
+        # band the run cannot reach (B=256 lanes at step=5000 with
+        # s~850 meant a 17 GB buffer — observed OOM)
         s_cap2 = -(-(max(s_p1) + 4) // 4096) * 4096
+        d_span = max((abs(len(q) - len(t))
+                      for t, q in zip(ts_list, qs_list)), default=0)
+        w2 = min(_next_pow2(2 * opt.step + 2 * ns + 24),
+                 _next_pow2(2 * max(s_p1) + d_span + 2 * ns + 24))
         bk = _Buckets(bk.B, bk.LT, bk.LQ,
-                      W=min(_next_pow2(2 * opt.step + 2 * ns + 24), bk.W_full),
+                      W=min(w2, bk.W_full),
                       S_CAP=min(s_cap2, bk.S_full),
                       W_full=bk.W_full, S_full=bk.S_full)
 

@@ -111,10 +111,11 @@ def _build_walk(S_CAP: int, WR4: int, cpw: int,
                                  jnp.minimum(jnp.right_shift(clz, LOGB),
                                              valid))
 
-            # two stacked probes consume up to 2*cpw chars per iteration
+            # stacked probes consume up to 3*cpw chars per iteration
             # (match runs dominate the walk's iteration count)
             run = probe16(0)
             run = run + jnp.where(run >= cpw, probe16(cpw), 0)
+            run = run + jnp.where(run >= 2 * cpw, probe16(2 * cpw), 0)
             matching = (last == 0) & (run > 0)
 
             # DP-byte decode (reference miniwfa.c:341-366); the tb cell
