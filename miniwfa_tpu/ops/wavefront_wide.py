@@ -10,8 +10,10 @@ s ~ 270k the live band is ~540k diagonals wide (the reference's own
 high-mem tb is Sum(band) ~ 50 GB for the same reason, README.md:98).
 
 This engine keeps every DP plane in HBM and streams the live band
-through VMEM in fixed 128-row chunks (CR*128 = 16384 diagonals), giving
-W up to 2^20 diagonals bounded by HBM instead of VMEM:
+through VMEM in fixed CR-row chunks (WSpec.cr: 256 rows = 32768
+diagonals in score mode, 128 in pass 1 whose sf shadows sit near the
+VMEM cap), giving W up to 2^20 diagonals bounded by HBM instead of
+VMEM:
 
 * **HBM workspaces** (extra pallas outputs in ANY memory, per lane):
   ring planes [NRING, WRT, 128] laid out exactly like the snapshot
@@ -36,10 +38,17 @@ W up to 2^20 diagonals bounded by HBM instead of VMEM:
   snapshot copy the reference performs (wf_snapshot, miniwfa.c:451-474)
   becomes a row bump.
 
-Sweep structure per cycle mirrors the VMEM engine: score mode runs ONE
-fused retire+transition sweep; pass 1 splits retire / (snapshot) /
+Sweep structure per cycle mirrors the VMEM engine: score mode and
+non-snapshot pass-1 cycles run ONE fused retire+transition sweep;
+snapshot-boundary cycles (1 in `step`) split retire / snapshot /
 transition because the serialization must land between them
 (miniwfa.c:585-587).
+
+The whole machine is RESUMABLE (run_chunked): scalar state crosses the
+call boundary through scal/out-row columns (RS_*/OW_* below) and the
+HBM planes through input_output_aliased buffers, because the tunnelled
+TPU worker kills any device call past ~1 minute; pass-1 snapshot
+buffers grow on demand between calls.
 
 Modes: SCORE and PASS1.  Pass 2 runs with the band collapsed to
 ~2*step+1 (miniwfa.c:413-416) and high-mem CIGAR tb at this scale
