@@ -75,8 +75,11 @@ def run_cases(names=("t3", "homopoly", "med2k", "med3k_bigdel", "gap300")):
             from miniwfa_tpu.models import exact as ex
             import os
             cnt = int(out["snap_cnt"][0])
+            import numpy as _np
+            snap_rows = _np.asarray(out["snap"][0, :max(cnt, 1)])
+            snap_rows = snap_rows.reshape(snap_rows.shape[0], -1)
             segs = tbk.decode_checkpoints_kernel(
-                out["snap"][0, :max(cnt, 1)], anc, cnt,
+                snap_rows, anc, cnt,
                 int(out["last_ptr"][0]), spec.kspec())
             opt = Options(**pen, cigar=True, step=STEP)
             # the checkpoint list must EQUAL the lax engine's pass-1
