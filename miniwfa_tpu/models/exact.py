@@ -380,6 +380,9 @@ def _n_iter_of(out, i: int) -> int:
 # reference simply uses host RAM for them (README.md:60-64) — and the
 # VMEM kernel's other buffers are small, so most of HBM is available.
 PASS1_SNAP_BUDGET = int(os.environ.get("MWF_SNAP_GB", "6")) << 30
+# high-mem traceback buffer budget per device call (align_batch chunks
+# the batch lanes so B * S_CAP * W bytes stays under this)
+TB_LANE_BUDGET = int(os.environ.get("MWF_TB_GB", "4")) << 30
 
 
 def _pass1_lane_cap(opt: Options, bk: _Buckets) -> int:
@@ -626,6 +629,21 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
     idx = list(range(n))
     cur_bk = bk
     while idx:
+        if mode == MODE_TB and jax.default_backend() == "tpu":
+            # high-mem traceback lane cap: the tb buffer is
+            # B * S_CAP * W bytes (1 B/cell on every engine); chunk the
+            # batch so one dispatch never outgrows HBM (the reference's
+            # high-mem mode has the same footprint in host RAM,
+            # README.md:98 — batching multiplies it by the lanes)
+            per_lane = max(1, cur_bk.S_CAP * cur_bk.W)
+            cap = max(1, TB_LANE_BUDGET // per_lane)
+        else:
+            cap = len(idx)
+        chunk, idx_rest = idx[:cap], idx[cap:]
+        idx = chunk
+        cur_bk = _Buckets(_next_pow2(max(1, len(idx))), cur_bk.LT,
+                          cur_bk.LQ, cur_bk.W, cur_bk.S_CAP,
+                          cur_bk.W_full, cur_bk.S_full)
         sub_segs = [segs[i] for i in idx] if segs is not None else None
         out, spec = _run_device(opt, mode, cur_bk,
                                 [ts_list[i] for i in idx],
@@ -747,7 +765,7 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                                   cur_bk.LT, cur_bk.LQ,
                                   new_w, cur_bk.S_CAP,
                                   cur_bk.W_full, cur_bk.S_full)
-        idx = retry
+        idx = retry + idx_rest
     return results  # type: ignore[return-value]
 
 
