@@ -50,7 +50,9 @@ Timing: stderr 'T' lines report the batch wall time amortized per pair
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
-        opts, args = getopt.getopt(argv, "cKdep:autl:f:B:")
+        # gnu_getopt permutes argv like the reference's ketopt
+        # (ketopt.h:56-120): `mwf-tpu t.fa q.fa -c` parses
+        opts, args = getopt.gnu_getopt(argv, "cKdep:autl:f:B:")
     except getopt.GetoptError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1

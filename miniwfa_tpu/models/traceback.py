@@ -22,6 +22,15 @@ from ..options import Options
 from .. import cigar as C
 
 
+def _check(cond: bool, msg: str) -> None:
+    """Data-integrity check that survives ``python -O`` (these guard
+    device-produced buffers, not programmer invariants — a corrupted
+    pointer chain must raise, matching the engine-inconsistency errors
+    in models/exact.py)."""
+    if not cond:
+        raise RuntimeError(msg)
+
+
 def traceback_walk(
     opt: Options,
     tb_bits: np.ndarray,   # [n_rows, W] uint8; row r ↔ score r+1
@@ -59,7 +68,7 @@ def traceback_walk(
                 C.push(cig, C.OP_EQ, k0 - k)
             if i < 0 or k < 0:
                 break
-        assert srow >= 0, "traceback ran past score 0"
+        _check(srow >= 0, "traceback ran past score 0")
         col = (i - k) - int(tb_lo[srow]) + m1
         x = int(tb_bits[srow, col])
         state = (x & 7) if last == 0 else last
@@ -134,12 +143,12 @@ def decode_checkpoints_ptrs(
     (ops.traceback_device.chain_ptrs_on_device) — same output as
     decode_checkpoints_kernel without fetching the snapshot rows."""
     cap = recs.shape[0]
-    assert last_fin == -1, \
-        f"pointer chain did not reach origin: {last_fin}"
+    _check(last_fin == -1,
+           f"pointer chain did not reach origin: {last_fin}")
     segs: List[Tuple[int, int]] = []
     for c in range(snap_cnt - 1, -1, -1):
         last = int(recs[cap - 1 - c])
-        assert last >= 0, f"pointer chain broke at snapshot {c}: {last}"
+        _check(last >= 0, f"pointer chain broke at snapshot {c}: {last}")
         segs.append(_kernel_ptr_to_seg(last, c, anc, spec))
     segs.reverse()
     return segs
@@ -163,10 +172,10 @@ def decode_checkpoints_kernel(
     segs: List[Tuple[int, int]] = []
     last = int(last_ptr)
     for c in range(snap_cnt - 1, -1, -1):
-        assert last >= 0, f"pointer chain broke at snapshot {c}: {last}"
+        _check(last >= 0, f"pointer chain broke at snapshot {c}: {last}")
         segs.append(_kernel_ptr_to_seg(last, c, anc, spec))
         last = int(snap_x[c, last])
-    assert last == -1, f"pointer chain did not reach origin: {last}"
+    _check(last == -1, f"pointer chain did not reach origin: {last}")
     segs.reverse()
     return segs
 
@@ -193,7 +202,7 @@ def decode_checkpoints(
     segs: List[Tuple[int, int]] = []
     last = int(last_ptr)
     for c in range(snap_cnt - 1, -1, -1):
-        assert last >= 0, f"pointer chain broke at snapshot {c}: {last}"
+        _check(last >= 0, f"pointer chain broke at snapshot {c}: {last}")
         slot = last // (5 * w_cap)
         w = last % w_cap
         snap_s = step * (c + 1) - 1
@@ -201,6 +210,6 @@ def decode_checkpoints(
         d = int(snap_anc[c]) + w
         segs.append((s, d))
         last = int(snap_x[c, last])
-    assert last == -1, f"pointer chain did not reach origin: {last}"
+    _check(last == -1, f"pointer chain did not reach origin: {last}")
     segs.reverse()
     return segs

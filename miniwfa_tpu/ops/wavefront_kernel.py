@@ -89,7 +89,14 @@ import os as _os
 MAXR_SAFETY = int(_os.environ.get("MWF_MAXR_SAFETY", 1 << 20))
 # extension-round hard bound; refill progress makes this unreachable in
 # correct operation (a small override turns a suspected livelock into a
-# visible band-overflow for debugging)
+# visible band-overflow for debugging).  The VMEM kernel additionally
+# bounds each extend() call by a LENGTH-DERIVED round count (tl//4 +
+# 8192 covers the worst legitimate case: every straggler sub-window of
+# a chunk consuming a full-length match run at >=32 chars/round, plus
+# segment-rotation no-op rounds), so an undiagnosed livelock of the
+# straggler loop (see the reverted wide-engine port, PERF_NOTES.md)
+# fails in seconds as a visible stuck-lane overflow instead of hanging
+# until the TPU worker watchdog kills the call.
 
 # scalar-input layout (per lane): [tl, ql, anc, n_seg, seg_s..., seg_d...]
 SC_TL, SC_QL, SC_ANC, SC_NSEG, SC_SEG = 0, 1, 2, 3, 4
@@ -553,8 +560,10 @@ def build_kernel(spec: KSpec):
             if _os.environ.get("MWF_KDBG_EXT1"):
                 return tH[pl.ds(ro, CR)], jnp.zeros((), bool)
 
+            maxr = jnp.minimum(jnp.int32(MAXR_SAFETY), tl // 4 + 8192)
+
             def cond(c):
-                return (c[0] != 0) & (c[1] < MAXR_SAFETY)
+                return (c[0] != 0) & (c[1] < maxr)
 
             def body(c):
                 _, rnd = c
@@ -592,7 +601,7 @@ def build_kernel(spec: KSpec):
 
             any_i, rnd = lax.while_loop(
                 cond, body, (any_un.astype(jnp.int32), jnp.int32(0)))
-            stuck = rnd >= MAXR_SAFETY
+            stuck = rnd >= maxr
             return tH[pl.ds(ro, CR)], stuck
 
         def good_diag(v, DDc):

@@ -1255,13 +1255,16 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
                 NRING = snapshot_layout(spec.kspec())[5]
                 WRT = spec.WR + 8
                 row_b = NRING * WRT * 128 * 4
-                n2 = max(need, spec.n_snap * 3 // 2)
-                if (n2 + 1) * row_b > snap_budget:
-                    n2 = need   # exact need before giving up
-                if (n2 + 1) * row_b > snap_budget:
+                # the grow step concatenates, transiently holding BOTH
+                # the old (n_snap+1 rows) and new (n2+1 rows) buffers per
+                # lane — budget the transient peak, not just the new size
+                n_max = snap_budget // (spec.B * row_b) - spec.n_snap - 2
+                n2 = min(max(need, spec.n_snap * 3 // 2), max(n_max, 0))
+                if n2 < need:
                     raise RuntimeError(
-                        f"low-mem snapshot buffer "
-                        f"{(n2 + 1) * row_b / 2**30:.1f} GiB/lane at "
+                        f"low-mem snapshot buffer grow to "
+                        f"{(need + 1) * row_b / 2**30:.1f} GiB/lane "
+                        f"(transient peak {(need + 2 + spec.n_snap) * spec.B * row_b / 2**30:.1f} GiB) at "
                         f"step={spec.step}, W={spec.W} exceeds the "
                         f"{snap_budget/2**30:.0f} GiB budget — use a "
                         f"larger step or the chain mode")
