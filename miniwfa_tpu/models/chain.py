@@ -73,14 +73,33 @@ def align_chain_batch(pairs: Sequence[Tuple[object, object]],
         for i in np.nonzero(kinds == K_ALIGN)[0]:
             gap_pairs.append((ts[x0[i]:x1[i]], qs[y0[i]:y1[i]]))
             gap_of.append((pi, int(i)))
-    # dispatch in bounded chunks: a Mb-scale pair yields 1e4-1e5 gaps and
-    # one giant batch would blow device memory / compile fresh giant specs.
-    # Sorting by size keeps each chunk's padding buckets tight.
+    gap_results: List[Optional[Result]] = [None] * len(gap_pairs)
+
+    # window-sized gaps (the vast majority: 99.98% of a 5 Mb pair's ~43k
+    # fills are <=127 bp total) run on the gaps-in-sublanes engine — one
+    # sublane row per gap, thousands of gaps per Pallas grid step —
+    # instead of ms-per-cycle lockstep dispatches (models/tiny.py)
+    from . import tiny as tn
+    pending = list(range(len(gap_pairs)))
+    tiny_sel = [g for g in pending
+                if len(gap_pairs[g][0]) + len(gap_pairs[g][1])
+                <= tn.wg.MAX_TOT]
+    if tiny_sel and tn.tiny_eligible(opt, max(
+            len(gap_pairs[g][0]) + len(gap_pairs[g][1])
+            for g in tiny_sel)):
+        sub = tn.align_tiny_batch([gap_pairs[g] for g in tiny_sel], opt)
+        for g, r in zip(tiny_sel, sub):
+            gap_results[g] = r
+        pending = [g for g in pending if gap_results[g] is None]
+
+    # dispatch the rest in bounded chunks: a Mb-scale pair yields 1e4-1e5
+    # gaps and one giant batch would blow device memory / compile fresh
+    # giant specs.  Sorting by size keeps each chunk's padding buckets
+    # tight.
     CHUNK = 2048
-    order = sorted(range(len(gap_pairs)),
+    order = sorted(pending,
                    key=lambda g: max(len(gap_pairs[g][0]),
                                      len(gap_pairs[g][1])))
-    gap_results: List[Optional[Result]] = [None] * len(gap_pairs)
     for c0 in range(0, len(order), CHUNK):
         sel = order[c0:c0 + CHUNK]
         # window/score buckets sized to the chunk's largest gap, not the

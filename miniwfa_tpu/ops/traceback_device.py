@@ -30,8 +30,13 @@ OP_I, OP_D, OP_EQ, OP_X = 1, 2, 7, 8
 
 
 def _build_walk(S_CAP: int, WR4: int, cpw: int,
-                x: int, o1: int, e1: int, o2: int, e2: int):
-    W = WR4 * 4 * 128
+                x: int, o1: int, e1: int, o2: int, e2: int,
+                layout: str = "rows"):
+    """layout="rows": the VMEM kernel's tb packing (4 band ROWS per int32
+    word, tb [S_CAP, WR4, 128]).  layout="cycles": the gaps-in-sublanes
+    kernel's packing (4 CYCLES per word, tb [S_CAP//4, 128], W = 128 —
+    ops/wavefront_gaps.py)."""
+    W = WR4 * 4 * 128 if layout == "rows" else 128
     BITS = 32 // cpw
     LOGC = {16: 4, 4: 2}[cpw]
     LOGB = {16: 1, 4: 3}[cpw]
@@ -118,14 +123,22 @@ def _build_walk(S_CAP: int, WR4: int, cpw: int,
             run = run + jnp.where(run >= 2 * cpw, probe16(2 * cpw), 0)
             matching = (last == 0) & (run > 0)
 
-            # DP-byte decode (reference miniwfa.c:341-366); the tb cell
-            # lives in byte (col>>7)&3 of packed word [col>>9, col&127]
+            # DP-byte decode (reference miniwfa.c:341-366); rows layout:
+            # the tb cell lives in byte (col>>7)&3 of packed word
+            # [col>>9, col&127]; cycles layout: byte srow&3 of word
+            # [srow>>2, col]
             col = jnp.clip((i - k) - anc, 0, W - 1)
-            word = lax.dynamic_slice(
-                tb, (jnp.maximum(srow, 0), col >> 9, col & 127),
-                (1, 1, 1))[0, 0, 0].astype(jnp.int32)
-            byte = jnp.right_shift(
-                word, ((col >> 7) & 3) * 8) & 0x7F
+            sr = jnp.maximum(srow, 0)
+            if layout == "rows":
+                word = lax.dynamic_slice(
+                    tb, (sr, col >> 9, col & 127),
+                    (1, 1, 1))[0, 0, 0].astype(jnp.int32)
+                byte = jnp.right_shift(
+                    word, ((col >> 7) & 3) * 8) & 0x7F
+            else:
+                word = lax.dynamic_slice(
+                    tb, (sr >> 2, col), (1, 1))[0, 0].astype(jnp.int32)
+                byte = jnp.right_shift(word, (sr & 3) * 8) & 0x7F
             state = jnp.where(last == 0, byte & 7, last)
             ext = jnp.where(state > 0,
                             jnp.right_shift(byte, state + 2) & 1, 0)
@@ -257,6 +270,49 @@ def walk_batch_on_device(tb_packed, ancs, ts_list, qs_list, s_finals,
     bufs, nouts = packed[:, :-1], packed[:, -1]
     return [[int(v) for v in bufs[b, :int(nouts[b])][::-1]]
             for b in range(B)]
+
+
+@functools.lru_cache(maxsize=32)
+def _get_walker_gaps(S_CAP: int, cpw: int, out_cap: int,
+                     x: int, o1: int, e1: int, o2: int, e2: int):
+    """Batch walker over the gaps-kernel tb layout (4 cycles/word).
+    Returns packed [G, out_cap+1] (runs + count): tiny gaps emit at most
+    tl+ql+2 <= MAX_TOT+3 runs, so the fetch is sliced device-side
+    instead of hauling the 2*S_CAP-sized worst-case buffers."""
+    walk = _build_walk(S_CAP, 0, cpw, x, o1, e1, o2, e2, layout="cycles")
+
+    def walk_packed(*args):
+        buf, nout = walk(*args)
+        return jnp.concatenate([buf[:out_cap], nout[None]], 0)
+
+    return jax.jit(jax.vmap(walk_packed))
+
+
+def walk_gaps_on_device(tb_packed, tl, ql, tw, qw, s_finals, last_states,
+                        cpw: int, pens) -> list:
+    """Walk every gap lane in one device call; returns a list of packed
+    CIGAR lists (input order).  tb_packed: [G, S_CAP//4, 128] device
+    array in the gaps kernel's 4-cycles-per-word layout; tl/ql/tw/qw:
+    [G] / [G, NW] numpy; the window anchor is -tl per lane."""
+    G = int(tb_packed.shape[0])
+    S_CAP = int(tb_packed.shape[1]) * 4
+    tl = np.asarray(tl, np.int32)
+    ql = np.asarray(ql, np.int32)
+    # runs bound: every push consumes >=1 target or query char except the
+    # two overhang pushes
+    out_cap = int(tl.max(initial=0) + ql.max(initial=0) + 4)
+    walker = _get_walker_gaps(S_CAP, cpw, out_cap, *pens)
+    packed = np.asarray(walker(
+        tb_packed, jnp.asarray(-tl), jnp.asarray(tl), jnp.asarray(ql),
+        jnp.asarray(tw), jnp.asarray(qw),
+        jnp.asarray(s_finals, jnp.int32),
+        jnp.asarray(last_states, jnp.int32)))
+    bufs, nouts = packed[:, :-1], packed[:, -1]
+    if nouts.max(initial=0) > out_cap:
+        raise RuntimeError("gaps walker overflowed its run buffer — "
+                           "engine bug (runs must be <= tl+ql+2)")
+    return [[int(v) for v in bufs[g, :int(nouts[g])][::-1]]
+            for g in range(G)]
 
 
 @functools.lru_cache(maxsize=32)

@@ -1,0 +1,514 @@
+"""Gaps-in-sublanes WFA engine: many TINY alignments per Pallas tile.
+
+Chain mode decomposes a Mb-scale pair into tens of thousands of exact
+gap fills, most a few bp to ~100 bp (reference mwf_wfa_chain,
+miniwfa.c:861-891, closes each gap with mwf_wfa_exact in cache).  The
+fused-cycle VMEM kernel (ops/wavefront_kernel.py) runs ONE alignment per
+sequential grid lane — per-lane fixed cost x 40k tiny lanes loses badly —
+and the lax lockstep engine pays ~ms of gather dispatch per cycle
+(PERF_NOTES.md).  This engine instead packs gaps along the SUBLANE axis:
+
+* one gap per sublane row: row r of a ``[R, 128]`` tile is gap r's whole
+  diagonal window (128 lanes = 128 diagonals, slot w == diagonal w - tl),
+  so every VPU op advances R gaps at once and a batch of thousands of
+  gaps is a handful of grid steps;
+* full-width sweeps: a gap's band never exceeds its 128-diagonal window
+  (eligibility: tl + ql <= 127, so the window spans the WHOLE legal
+  diagonal range [-tl, ql] and the reference's band clamp IS the window
+  edge — band overflow is impossible by construction);
+* exact per-row band bookkeeping (grow/commit/shrink, miniwfa.c:139-171,
+  325-326, 417-420) via per-row broadcast planes, so scores, CIGARs AND
+  n_iter match the reference core bit-for-bit (same transition_values
+  tie-breaks as every other engine);
+* whole sequences resident: a gap's packed words live in its row's lane
+  slots (<= 127 chars at any cpw), so extension probes are one
+  take_along_axis per side and never refill;
+* traceback packs 4 CYCLES per int32 word ([G, S_CAP/4, 128], 1 B/cell,
+  the reference density README.md:52-53) streamed to HBM through a
+  2-slot DMA ring; the device walker decodes this layout directly
+  (ops/traceback_device.py layout="cycles").
+
+Semantics contract: identical to ops/wavefront_kernel.py MODE_SCORE /
+MODE_TB for pairs with tl + ql <= 127 (recurrence + tie-breaks
+wf_next_tb miniwfa.c:287-307, termination miniwfa.c:405, band dynamics
+and n_iter accounting miniwfa.c:417-421).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wavefront_kernel import MODE_SCORE, MODE_TB, WF_NEG_INF, \
+    transition_values
+
+# per-gap scalar-output lanes of the result plane
+(GO_S, GO_DONE, GO_STOP, GO_OVF, GO_LS, GO_NI, GO_N) = range(7)
+
+# eligibility: window = 128 diagonals spans [-tl, ql] iff tl+ql+1 <= 128
+MAX_TOT = 127
+
+
+@dataclass(frozen=True)
+class GSpec:
+    """Static configuration of the gaps-in-sublanes kernel."""
+
+    R: int           # gap rows per grid step (multiple of 8)
+    NSTEP: int       # grid steps; total gap capacity = R * NSTEP
+    S_CAP: int       # cycle budget (multiple of 4)
+    x: int
+    o1: int
+    e1: int
+    o2: int
+    e2: int
+    mode: int = MODE_SCORE
+    cpw: int = 16    # chars per packed word (16 = 2-bit ACGT, 4 = bytes)
+    max_s: int = 0
+    max_iter: int = 0
+
+    @property
+    def G(self) -> int:
+        return self.R * self.NSTEP
+
+    @property
+    def NS(self) -> int:  # shrink scan depth = max_pen + 1 (miniwfa.c:390)
+        return max(self.x, self.o1 + self.e1, self.o2 + self.e2) + 1
+
+
+def _ages(spec: GSpec):
+    return dict(x=spec.x, o1=spec.o1 + spec.e1, o2=spec.o2 + spec.e2,
+                e1=spec.e1, e2=spec.e2)
+
+
+def build_gaps_kernel(spec: GSpec):
+    """Build the pallas_call wrapper.  Returns fn(meta, seqT, seqQ) ->
+    (out [G, 128] int32, tb [G, S_CAP//4, 128] int32 if TB mode).
+
+    meta: [G, 128] int32, per-row broadcast of ``tl | ql << 16``.
+    seqT/seqQ: [G, 128] int32 packed word planes (word j of gap g at
+    [g, j]; whole sequence resident — see pack_rows)."""
+    R = spec.R
+    NEG = WF_NEG_INF
+    BIG = 0x3FFFFFFF
+    CPW = spec.cpw
+    BITS = 32 // CPW
+    LOGC = {16: 4, 4: 2}[CPW]
+    LOGB = {16: 1, 4: 3}[CPW]
+    is_tb = spec.mode == MODE_TB
+    ages = _ages(spec)
+    DH = max(ages["x"], ages["o1"], ages["o2"])
+    DE1 = max(ages["e1"], 1)
+    DE2 = max(ages["e2"], 1)
+    NS = spec.NS
+    S_CAP4 = spec.S_CAP // 4
+    # worst-case full-plane probe rounds: after round 1 probes are
+    # word-aligned and consume cpw chars each; runs are <= MAX_TOT chars
+    MAXPR = MAX_TOT // CPW + 4
+
+    def rowshift_m(a):
+        """Value at window slot w-1 (diagonal d-1); slot 0 reads NEG —
+        gaps never span rows, so there is no cross-row carry."""
+        return jnp.concatenate(
+            [jnp.full((R, 1), NEG, a.dtype), a[:, :-1]], 1)
+
+    def rowshift_p(a):
+        return jnp.concatenate(
+            [a[:, 1:], jnp.full((R, 1), NEG, a.dtype)], 1)
+
+    def ctz_chars(x):
+        u = x.astype(jnp.uint32)
+        ctz = lax.population_count(
+            jnp.bitwise_and(~u, u - jnp.uint32(1)).astype(jnp.int32))
+        return jnp.right_shift(ctz, LOGB)
+
+    def kernel(meta_ref, seqt_ref, seqq_ref, out_ref, *refs):
+        if is_tb:
+            tb_ref = refs[0]
+            refs = refs[1:]
+        (rH, rE1, rF1, rE2, rF2,
+         tH, tE1, tF1, tE2, tF2,
+         vb, pbits, wlop, whip, tlop, thip,
+         dnp, stp, fsp, lsp, nip, sun, tbacc, sem_tb, dm) = refs
+
+        i = pl.program_id(0)
+        lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        mt = meta_ref[:]
+        tlv = mt & 0xFFFF
+        qlv = jnp.right_shift(mt, 16) & 0xFFFF
+        dendv = qlv - tlv
+        DD = lane - tlv            # window slot w -> diagonal w - tl
+        seqt = seqt_ref[:]
+        seqq = seqq_ref[:]
+
+        # ---- init (scratch persists across grid steps: reset everything)
+        for ring, depth in ((rH, DH), (rE1, DE1), (rF1, DE1),
+                            (rE2, DE2), (rF2, DE2)):
+            for j in range(depth):
+                ring[j] = jnp.full((R, 128), NEG, jnp.int32)
+        # score-0 top: H[d=0] = -1 (miniwfa.c:119)
+        tH[:] = jnp.where(DD == 0, -1, NEG)
+        for r in (tE1, tF1, tE2, tF2):
+            r[:] = jnp.full((R, 128), NEG, jnp.int32)
+        for r in (vb, pbits, wlop, whip, tlop, thip, dnp, stp, lsp, nip):
+            r[:] = jnp.zeros((R, 128), jnp.int32)
+        fsp[:] = jnp.full((R, 128), -1, jnp.int32)
+        if is_tb:
+            tbacc[:] = jnp.zeros((2, R, 128), jnp.int32)
+            dm[0] = 0   # pending-DMA bitmask over the 2 acc slots
+
+        def probe_once(DDc, k, un):
+            """One cpw-char probe over the full [R,128] plane; mirrors
+            wavefront_kernel.probe_once with the whole sequence resident
+            (no window bases, never out-of-window)."""
+            pos_t = k + 1
+            pos_q = DDc + k + 1
+
+            def side(words, pos):
+                j = jnp.clip(jnp.right_shift(pos, LOGC), 0, 127)
+                w0 = jnp.take_along_axis(words, j, axis=1)
+                off = jnp.bitwise_and(pos, CPW - 1)
+                chars = jnp.right_shift(w0.astype(jnp.uint32),
+                                        (off * BITS).astype(jnp.uint32))
+                return chars, CPW - off
+
+            cht, nvt = side(seqt, pos_t)
+            chq, nvq = side(seqq, pos_q)
+            nv = jnp.minimum(nvt, nvq)
+            x = jnp.bitwise_xor(cht, chq).astype(jnp.int32)
+            shv = (nv * BITS).astype(jnp.uint32)
+            tail = jnp.where(nv >= CPW, jnp.uint32(0),
+                             jnp.left_shift(jnp.uint32(0xFFFFFFFF), shv))
+            xf = x | tail.astype(jnp.int32)
+            run = jnp.where(xf == 0, nv, ctz_chars(xf))
+            cap = jnp.maximum(
+                jnp.minimum(tlv - 1 - k, qlv - 1 - (DDc + k)), 0)
+            adv = jnp.minimum(run, cap)
+            k = jnp.where(un, k + adv, k)
+            resolved = un & ((run < nv) | (adv >= cap))
+            return k, un & ~resolved
+
+        def cycle(carry):
+            t, _go = carry
+            act = (dnp[:] == 0) & (stp[:] == 0)
+            t_lo, t_hi = tlop[:], thip[:]
+
+            # --- 1. extension over the top band (miniwfa.c:400-411)
+            k_old = tH[:]
+            in_top = (DD >= t_lo) & (DD <= t_hi)
+            elig = act & in_top & (k_old >= -1) & (DD + k_old >= -1) \
+                & (k_old < tlv) & (DD + k_old < qlv)
+            # probe rounds: state lives in scratch (tH holds k, sun the
+            # unresolved mask) so the while carries only scalars — Mosaic
+            # rejects vector loop carries here (scf.yield legalization)
+            k, un = probe_once(DD, k_old, elig)
+            k, un = probe_once(DD, k, un)
+            tH[:] = k
+            sun[:] = un.astype(jnp.int32)
+
+            def pcond(c):
+                return (c[0] != 0) & (c[1] < MAXPR)
+
+            def pbody(c):
+                kk, uu = probe_once(DD, tH[:], sun[:] != 0)
+                tH[:] = kk
+                sun[:] = uu.astype(jnp.int32)
+                return jnp.any(uu).astype(jnp.int32), c[1] + 1
+
+            lax.while_loop(pcond, pbody,
+                           (jnp.any(un).astype(jnp.int32), jnp.int32(0)))
+            k_new = tH[:]  # probes advance only unresolved lanes
+
+            # --- 2. termination bookkeeping (miniwfa.c:405-408)
+            at_end = elig & (DD == dendv) & (k_new == tlv - 1)
+            termr = jnp.any(at_end, axis=1, keepdims=True)
+            zeror = jnp.any(at_end & (k_new == k_old), axis=1,
+                            keepdims=True)
+            if is_tb:
+                bits_at = jnp.max(
+                    jnp.where(DD == dendv, pbits[:], 0), axis=1,
+                    keepdims=True)
+                lsp[:] = jnp.where(act & termr & (t > 0) & zeror,
+                                   bits_at & 7, lsp[:])
+            fsp[:] = jnp.where(act & termr, t, fsp[:])
+            dnp[:] = jnp.where(act & termr, 1, dnp[:])
+            act2 = act & ~termr
+
+            # --- 3. band growth, clamped to the matrix (miniwfa.c:417-418)
+            lo = jnp.maximum(wlop[:] - 1, -tlv)
+            hi = jnp.minimum(whip[:] + 1, qlv)
+            width = hi - lo + 1
+            in_new = (DD >= lo) & (DD <= hi)
+
+            # --- 4. retire score-t tops into the rings + viability bits
+            h_t, e1_t, f1_t = tH[:], tE1[:], tF1[:]
+            e2_t, f2_t = tE2[:], tF2[:]
+            rH[jnp.mod(t, DH)] = h_t
+            rE1[jnp.mod(t, DE1)] = e1_t
+            rF1[jnp.mod(t, DE1)] = f1_t
+            rE2[jnp.mod(t, DE2)] = e2_t
+            rF2[jnp.mod(t, DE2)] = f2_t
+            viab = jnp.zeros((R, 128), bool)
+            for v in (h_t, e1_t, f1_t, e2_t, f2_t):
+                viab |= (v >= -1) & (v < tlv) & (DD + v >= -1) \
+                    & (DD + v < qlv)
+            vb[:] = jnp.where(
+                act2,
+                (jnp.left_shift(vb[:], 1)
+                 | viab.astype(jnp.int32)) & ((1 << NS) - 1),
+                vb[:])
+
+            # --- 5. transition into score t+1 (wf_next_tb semantics)
+            def rd(ring, depth, top, age):
+                if age == 1:
+                    return top
+                return ring[jnp.mod(t + 1 - age, depth)]
+
+            ho1 = rd(rH, DH, h_t, ages["o1"])
+            ho2 = rd(rH, DH, h_t, ages["o2"])
+            e1s = rd(rE1, DE1, e1_t, ages["e1"])
+            f1s = rd(rF1, DE1, f1_t, ages["e1"])
+            e2s = rd(rE2, DE2, e2_t, ages["e2"])
+            f2s = rd(rF2, DE2, f2_t, ages["e2"])
+            hxs = rd(rH, DH, h_t, ages["x"])
+            src = dict(
+                Hx=hxs,
+                Ho1m=rowshift_m(ho1), Ho1p=rowshift_p(ho1),
+                Ho2m=rowshift_m(ho2), Ho2p=rowshift_p(ho2),
+                E1m=rowshift_m(e1s), F1p=rowshift_p(f1s),
+                E2m=rowshift_m(e2s), F2p=rowshift_p(f2s))
+            Hn, E1n, F1n, E2n, F2n, bits = transition_values(src)
+            upd = act2 & in_new
+            tH[:] = jnp.where(act2, jnp.where(in_new, Hn, NEG), k_new)
+            tE1[:] = jnp.where(act2, jnp.where(in_new, E1n, NEG), e1_t)
+            tF1[:] = jnp.where(act2, jnp.where(in_new, F1n, NEG), f1_t)
+            tE2[:] = jnp.where(act2, jnp.where(in_new, E2n, NEG), e2_t)
+            tF2[:] = jnp.where(act2, jnp.where(in_new, F2n, NEG), f2_t)
+
+            if is_tb:
+                bits_m = jnp.where(upd, bits, 0)
+                pbits[:] = jnp.where(act2, bits_m, pbits[:])
+                # pack 4 cycles/word (1 B/cell): byte t&3 of word t>>2;
+                # double-buffered acc slots so the DMA of group g can
+                # drain while group g+1 accumulates
+                rem = jnp.bitwise_and(t, 3)
+                slot = jnp.bitwise_and(jnp.right_shift(t, 2), 1)
+
+                @pl.when(rem == 0)
+                def _():
+                    @pl.when(((dm[0] >> slot) & 1) == 1)
+                    def _():
+                        pltpu.make_async_copy(
+                            tbacc.at[slot], tb_ref.at[pl.ds(i * R, R), 0],
+                            sem_tb.at[slot]).wait()
+                        dm[0] = dm[0] & ~(1 << slot)
+                    tbacc[pl.ds(slot, 1)] = bits_m[None]
+
+                @pl.when(rem != 0)
+                def _():
+                    tbacc[pl.ds(slot, 1)] = (
+                        tbacc[pl.ds(slot, 1)]
+                        | jnp.left_shift(bits_m, rem * 8)[None])
+
+                @pl.when(rem == 3)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        tbacc.at[slot],
+                        tb_ref.at[pl.ds(i * R, R),
+                                  jnp.minimum(jnp.right_shift(t, 2),
+                                              S_CAP4 - 1)],
+                        sem_tb.at[slot])
+                    cp.start()
+                    dm[0] = dm[0] | (1 << slot)
+
+            # --- 6. boundary commit (miniwfa.c:325-326)
+            viable = jnp.zeros((R, 128), bool)
+            for v in (Hn, E1n, F1n, E2n, F2n):
+                viable |= v >= -1
+            viable &= in_new
+            lo_ok = jnp.any(viable & (DD == lo), axis=1, keepdims=True)
+            hi_ok = jnp.any(viable & (DD == hi), axis=1, keepdims=True)
+            wlo = jnp.where(act2 & lo_ok, lo, wlop[:])
+            whi = jnp.where(act2 & hi_ok, hi, whip[:])
+            tlop[:] = jnp.where(act2, lo, tlop[:])
+            thip[:] = jnp.where(act2, hi, thip[:])
+
+            # --- 7. periodic shrink every 256 cycles (miniwfa.c:420):
+            # good-diagonal hull over the new tops + the NS-1 youngest
+            # retired slices (vb bits)
+            sh_due = jnp.bitwise_and(t + 1, 0xFF) == 0
+            goodt = jnp.zeros((R, 128), bool)
+            for v in (Hn, E1n, F1n, E2n, F2n):
+                goodt |= (v >= -1) & (v < tlv) & (DD + v >= -1) \
+                    & (DD + v < qlv)
+            good = (goodt & in_new) \
+                | ((vb[:] & ((1 << (NS - 1)) - 1)) != 0)
+            good &= (DD >= wlo) & (DD <= whi)
+            hasg = jnp.any(good, axis=1, keepdims=True)
+            mn = jnp.min(jnp.where(good, DD, BIG), axis=1, keepdims=True)
+            mx = jnp.max(jnp.where(good, DD, -BIG), axis=1, keepdims=True)
+            shr = act2 & sh_due & hasg
+            wlo = jnp.where(shr, mn, wlo)
+            whi = jnp.where(shr, mx, whi)
+            wlop[:] = wlo
+            whip[:] = whi
+
+            # --- 8. accounting + early stop (miniwfa.c:421-425)
+            nip[:] = nip[:] + jnp.where(act2, width, 0)
+            stop = jnp.zeros((R, 128), bool)
+            if spec.max_iter > 0:
+                stop |= nip[:] > spec.max_iter
+            if spec.max_s > 0:
+                stop = stop | (t + 1 > spec.max_s)  # scalar broadcasts
+            stp[:] = jnp.where(act2 & stop, 1, stp[:])
+
+            go = jnp.any((dnp[:] == 0) & (stp[:] == 0))
+            return t + 1, go.astype(jnp.int32)
+
+        def cond(carry):
+            t, go = carry
+            return (go != 0) & (t < spec.S_CAP - 1)
+
+        t_fin, _ = lax.while_loop(cond, cycle, (jnp.int32(0), jnp.int32(1)))
+
+        if is_tb:
+            # flush the last (possibly partial) 4-cycle group + drain
+            slot_f = jnp.bitwise_and(
+                jnp.right_shift(jnp.maximum(t_fin - 1, 0), 2), 1)
+
+            @pl.when(jnp.bitwise_and(t_fin, 3) != 0)
+            def _():
+                @pl.when(((dm[0] >> slot_f) & 1) == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        tbacc.at[slot_f], tb_ref.at[pl.ds(i * R, R), 0],
+                        sem_tb.at[slot_f]).wait()
+                    dm[0] = dm[0] & ~(1 << slot_f)
+                cp = pltpu.make_async_copy(
+                    tbacc.at[slot_f],
+                    tb_ref.at[pl.ds(i * R, R),
+                              jnp.minimum(jnp.right_shift(t_fin - 1, 2),
+                                          S_CAP4 - 1)],
+                    sem_tb.at[slot_f])
+                cp.start()
+                dm[0] = dm[0] | (1 << slot_f)
+            for sl in range(2):
+                @pl.when(((dm[0] >> sl) & 1) == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        tbacc.at[sl], tb_ref.at[pl.ds(i * R, R), 0],
+                        sem_tb.at[sl]).wait()
+            dm[0] = 0
+
+        alive = (dnp[:] == 0) & (stp[:] == 0)
+        res = jnp.where(lane == GO_S, fsp[:], 0)
+        res = jnp.where(lane == GO_DONE, dnp[:], res)
+        res = jnp.where(lane == GO_STOP, stp[:], res)
+        res = jnp.where(lane == GO_OVF, alive.astype(jnp.int32), res)
+        res = jnp.where(lane == GO_LS, lsp[:], res)
+        res = jnp.where(lane == GO_NI, nip[:], res)
+        out_ref[:] = res
+
+    # ---- pallas_call plumbing
+    out_shapes = [jax.ShapeDtypeStruct((spec.G, 128), jnp.int32)]
+    out_specs = [pl.BlockSpec((R, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if is_tb:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (spec.G, S_CAP4, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+
+    scratch = [
+        pltpu.VMEM((DH, R, 128), jnp.int32),    # rH
+        pltpu.VMEM((DE1, R, 128), jnp.int32),   # rE1
+        pltpu.VMEM((DE1, R, 128), jnp.int32),   # rF1
+        pltpu.VMEM((DE2, R, 128), jnp.int32),   # rE2
+        pltpu.VMEM((DE2, R, 128), jnp.int32),   # rF2
+        pltpu.VMEM((R, 128), jnp.int32),        # tH
+        pltpu.VMEM((R, 128), jnp.int32),        # tE1
+        pltpu.VMEM((R, 128), jnp.int32),        # tF1
+        pltpu.VMEM((R, 128), jnp.int32),        # tE2
+        pltpu.VMEM((R, 128), jnp.int32),        # tF2
+        pltpu.VMEM((R, 128), jnp.int32),        # vb
+        pltpu.VMEM((R, 128), jnp.int32),        # pbits
+        pltpu.VMEM((R, 128), jnp.int32),        # wlop
+        pltpu.VMEM((R, 128), jnp.int32),        # whip
+        pltpu.VMEM((R, 128), jnp.int32),        # tlop
+        pltpu.VMEM((R, 128), jnp.int32),        # thip
+        pltpu.VMEM((R, 128), jnp.int32),        # dnp
+        pltpu.VMEM((R, 128), jnp.int32),        # stp
+        pltpu.VMEM((R, 128), jnp.int32),        # fsp
+        pltpu.VMEM((R, 128), jnp.int32),        # lsp
+        pltpu.VMEM((R, 128), jnp.int32),        # nip
+        pltpu.VMEM((R, 128), jnp.int32),        # sun (probe unresolved)
+        pltpu.VMEM((2, R, 128), jnp.int32),     # tbacc slots
+        pltpu.SemaphoreType.DMA((2,)),          # sem_tb
+        pltpu.SMEM((1,), jnp.int32),            # dm (pending bitmask)
+    ]
+
+    in_specs = [
+        pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    def call(meta, seqt, seqq, *, interpret=False):
+        return pl.pallas_call(
+            kernel,
+            grid=(spec.NSTEP,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(meta, seqt, seqq)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def get_gaps_kernel(spec: GSpec, interpret: bool = False):
+    """Jitted gaps-in-sublanes aligner.  Returns fn(meta, seqt, seqq) ->
+    (out [G, GO_N] np-sliced, tb [G, S_CAP//4, 128] device or None)."""
+    call = build_gaps_kernel(spec)
+    is_tb_mode = spec.mode == MODE_TB
+
+    def raw(meta, seqt, seqq):
+        outs = call(meta, seqt, seqq, interpret=interpret)
+        # slice the result fields device-side: fetching [G, 128] over the
+        # tunnel would move 16x the payload (PERF_NOTES RPC costs)
+        sliced = outs[0][:, :GO_N]
+        return (sliced, outs[1]) if is_tb_mode else (sliced, None)
+
+    return jax.jit(raw)
+
+
+def pack_rows(seqs, cpw: int):
+    """Pack tiny sequences into [G, 128] int32 word planes (word j of
+    sequence g at [g, j], cpw chars little-endian per word)."""
+    import numpy as np
+    from . import pack as pk
+    bits = 2 if cpw == 16 else 8
+    g = len(seqs)
+    out = np.zeros((g, 128), np.uint32)
+    for i, s in enumerate(seqs):
+        if not len(s):
+            continue
+        raw = np.frombuffer(s, dtype=np.uint8)
+        codes = pk._NT2[raw] if cpw == 16 else raw.astype(np.uint32)
+        nw = (len(s) + cpw - 1) // cpw
+        buf = np.zeros(nw * cpw, dtype=np.uint32)
+        buf[:len(s)] = codes
+        v = buf.reshape(nw, cpw)
+        w = np.zeros(nw, dtype=np.uint32)
+        for j in range(cpw):
+            w |= v[:, j] << np.uint32(bits * j)
+        out[i, :nw] = w
+    return out.view(np.int32)
