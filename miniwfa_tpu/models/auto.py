@@ -12,17 +12,34 @@ from .exact import Result, align_batch, align_exact, as_bytes
 
 def align_auto_batch(pairs: Sequence[Tuple[object, object]],
                      opt: Options) -> List[Result]:
-    """Auto policy over a batch: one exact dispatch with the 100M-cell
+    """Auto policy over a batch: the exact attempt with the 100M-cell
     budget (per-lane early stop), then one batched chain pass over the
-    lanes that gave up."""
+    lanes that gave up.
+
+    The exact attempt is probed in SCORE mode first: score mode
+    allocates no tb buffer and jumps straight to the device's largest
+    band window (one dispatch, no ladder), so a doomed attempt on a
+    Mb-scale pair costs one early-stopped score run instead of a
+    W/S_CAP escalation ladder dragging multi-GB tb buffers (~19 s ->
+    ~2 s warm on the 5 Mb fixture).  Lanes that succeed re-run in TB
+    mode sized exactly from the known score — output (score, CIGAR,
+    n_iter) is identical to a direct CIGAR attempt because both runs
+    compute the same cells."""
     o = opt.replace(step=0, max_iter=100_000_000)
-    # huge pairs: start the window near the device cap — the attempt either
-    # finishes (small band) or hits the 100M-cell/window limit; climbing
-    # the whole bucket ladder would just compile every intermediate spec
-    big = max((max(len(as_bytes(t)), len(as_bytes(q))) for t, q in pairs),
-              default=0) > 1_000_000
-    res = align_batch(pairs, o, band_limit="stop",
-                      w0=4096 if big else 512)
+    res = align_batch(pairs, o.replace(cigar=False), band_limit="stop",
+                      w0=512)
+    if opt.cigar:
+        ok = [i for i, r in enumerate(res) if r.s >= 0]
+        if ok:
+            ns = opt.max_pen + 1
+            smax = max(res[i].s for i in ok)
+            dmax = max(abs(len(as_bytes(pairs[i][0]))
+                           - len(as_bytes(pairs[i][1]))) for i in ok)
+            sub = align_batch([pairs[i] for i in ok], o, band_limit="stop",
+                              w0=2 * smax + dmax + 2 * ns + 24,
+                              s0=smax + 8)
+            for i, r in zip(ok, sub):
+                res[i] = r
     failed = [i for i, r in enumerate(res) if r.s < 0]
     if failed:
         oc = opt.replace(step=5000 if opt.cigar else 0, max_iter=0)

@@ -29,6 +29,15 @@ from .exact import Result, align_batch, as_bytes
 K_EQ, K_SKIP, K_ALIGN, K_DEL, K_INS, K_NONE = range(6)
 
 
+def _intra_offsets(sizes: np.ndarray) -> np.ndarray:
+    """[0..s0-1, 0..s1-1, ...] for a vector of run sizes."""
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    return np.arange(total, dtype=np.int64) - \
+        np.repeat(np.cumsum(sizes) - sizes, sizes)
+
+
 def _plan_segments(ts: bytes, qs: bytes, opt: Options):
     """Vectorized anchor-chain walk; returns (kinds, x0, x1, y0, y1)
     int64 arrays over the n_a+1 inter-anchor regions."""
@@ -155,7 +164,8 @@ def _assemble_pair(opt: Options, pi: int, kinds, dx, dy, gap_map) -> Result:
     cnt[m_skip] = 2
     acigs = [np.asarray(r.cigar if r.cigar is not None else [], np.int64)
              for r in ares]
-    cnt[aidx] = [a.size for a in acigs]
+    sizes = np.fromiter((a.size for a in acigs), np.int64, len(acigs))
+    cnt[aidx] = sizes
     off_all = np.concatenate([[0], np.cumsum(cnt)])
     off = off_all[:-1]                     # start offset per segment
     flat = np.zeros(int(off_all[-1]), np.int64)
@@ -164,15 +174,18 @@ def _assemble_pair(opt: Options, pi: int, kinds, dx, dy, gap_map) -> Result:
     flat[off[m_ins]] = (dy[m_ins] << 4) | C.OP_I
     flat[off[m_skip]] = (dx[m_skip] << 4) | C.OP_D
     flat[off[m_skip] + 1] = (dy[m_skip] << 4) | C.OP_I
-    for i, a in zip(aidx, acigs):          # ~#gaps, not #segments
-        flat[off[i]:off[i] + a.size] = a
+    if acigs:
+        # one vectorized scatter of every sub-CIGAR (a per-gap slice
+        # assignment loop costs seconds at 43k gaps)
+        dst = np.repeat(off[aidx], sizes) + _intra_offsets(sizes)
+        flat[dst] = np.concatenate(acigs) if len(acigs) > 1 else acigs[0]
     flat = flat[(flat >> 4) > 0]           # drop zero-length runs (push)
     if flat.size:
         ops = flat & 0xF
         b = np.nonzero(np.concatenate([[True], ops[1:] != ops[:-1]]))[0]
         lens = np.add.reduceat(flat >> 4, b)
         flat = (lens << 4) | ops[b]
-    return Result(s=s, cigar=[int(v) for v in flat], n_iter=n_iter)
+    return Result(s=s, cigar=flat.tolist(), n_iter=n_iter)
 
 
 def align_chain(ts, qs, opt: Options) -> Result:

@@ -26,9 +26,24 @@ for i, ch in enumerate("ACGT"):
 NT4[ord("U")] = NT4[ord("u")] = 3
 
 
+def _native_kmer():
+    try:
+        from ..utils import native
+        if native.has_kmer():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def kmer_codes(seq: bytes, rid: int, k: int) -> np.ndarray:
     """All valid k-mers as ``(kmer<<1|rid)<<32 | end_pos`` uint64 values
-    (reference mg_fc_kmer, miniwfa.c:718-730)."""
+    (reference mg_fc_kmer, miniwfa.c:718-730).  Native C++ when built
+    (the numpy k-wide shift loop costs ~10 s per 5 Mb sequence on one
+    core — SURVEY C16 is a ⚡ host-hot component at Mb scale)."""
+    nat = _native_kmer()
+    if nat is not None:
+        return nat.kmer_codes(seq, rid, k)
     n = len(seq)
     if n < k:
         return np.zeros(0, dtype=np.uint64)
@@ -57,7 +72,12 @@ def _group_bounds(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def match_pairs(ts: bytes, qs: bytes, k: int, max_occ: int) -> np.ndarray:
     """Cross-product anchor pairs pos1<<32|pos2 for k-mers occurring in
     both sequences with per-side occurrence ≤ max_occ
-    (reference mg_chain first half, miniwfa.c:741-765)."""
+    (reference mg_chain first half, miniwfa.c:741-765).  Native C++ when
+    built: one linear pass + radix sorts instead of numpy's multi-pass
+    group bookkeeping (~25 s -> <1 s on a 5 Mb pair)."""
+    nat = _native_kmer()
+    if nat is not None:
+        return nat.match_pairs_u64(ts, qs, k, max_occ)
     a = np.sort(np.concatenate([kmer_codes(ts, 0, k), kmer_codes(qs, 1, k)]))
     starts, counts = _group_bounds(a >> np.uint64(33))
     rid = ((a >> np.uint64(32)) & np.uint64(1)).astype(np.int64)

@@ -311,8 +311,9 @@ def walk_gaps_on_device(tb_packed, tl, ql, tw, qw, s_finals, last_states,
     if nouts.max(initial=0) > out_cap:
         raise RuntimeError("gaps walker overflowed its run buffer — "
                            "engine bug (runs must be <= tl+ql+2)")
-    return [[int(v) for v in bufs[g, :int(nouts[g])][::-1]]
-            for g in range(G)]
+    # .tolist() converts at C speed; a per-element int() comprehension
+    # costs ~1 s at 43k gaps
+    return [bufs[g, :int(nouts[g])][::-1].tolist() for g in range(G)]
 
 
 @functools.lru_cache(maxsize=32)

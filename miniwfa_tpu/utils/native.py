@@ -47,7 +47,10 @@ def _load():
         if _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO) and not _build():
+        stale = os.path.exists(_SO) and os.path.exists(_SRC) and \
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        if (not os.path.exists(_SO) or stale) and not _build() \
+                and not os.path.exists(_SO):
             return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -57,6 +60,23 @@ def _load():
         lib.mwf_lis_u64.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_int64)]
+        try:
+            lib.mwf_kmer_codes.restype = ctypes.c_int64
+            lib.mwf_kmer_codes.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_uint64)]
+            lib.mwf_match_pairs.restype = ctypes.c_int64
+            lib.mwf_match_pairs.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,   # ts, tn
+                ctypes.c_char_p, ctypes.c_int64,   # qs, qn
+                ctypes.c_int32, ctypes.c_int32,    # k, max_occ
+                ctypes.POINTER(ctypes.c_uint64),   # scratch [2*(tn+qn)]
+                ctypes.POINTER(ctypes.c_uint64),   # out [cap]
+                ctypes.c_int64]                    # cap
+            _HAS_KMER = True
+        except AttributeError:
+            _HAS_KMER = False   # stale .so without the k-mer entry points
+        lib._mwf_has_kmer = _HAS_KMER
         lib.mwf_traceback.restype = ctypes.c_int64
         lib.mwf_traceback.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),   # tb_bits [n_rows, W]
@@ -77,6 +97,39 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def has_kmer() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_mwf_has_kmer", False)
+
+
+def kmer_codes(seq: bytes, rid: int, k: int) -> np.ndarray:
+    """(kmer<<1|rid)<<32|end_pos codes (reference mg_fc_kmer semantics)."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty(max(len(seq), 1), dtype=np.uint64)
+    n = lib.mwf_kmer_codes(
+        seq, len(seq), rid, k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out[:n]
+
+
+def match_pairs_u64(ts: bytes, qs: bytes, k: int, max_occ: int) -> np.ndarray:
+    """Sorted pos_t<<32|pos_q match pairs (reference mg_chain first half)."""
+    lib = _load()
+    assert lib is not None
+    nn = len(ts) + len(qs)
+    scratch = np.empty(max(2 * nn, 2), dtype=np.uint64)
+    cap = max(max_occ * max_occ * nn // 2 + 16, 2 * nn + 16)
+    out = np.empty(cap, dtype=np.uint64)
+    m = lib.mwf_match_pairs(
+        ts, len(ts), qs, len(qs), k, max_occ,
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), cap)
+    if m < 0:
+        raise RuntimeError("mwf_match_pairs output capacity exceeded")
+    return out[:m].copy()
 
 
 def lis_u64(a: np.ndarray) -> np.ndarray:

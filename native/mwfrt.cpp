@@ -15,6 +15,7 @@
 // Python bridge: miniwfa_tpu/utils/native.py (ctypes); pure-Python
 // fallbacks exist for both entry points.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -103,6 +104,111 @@ int64_t mwf_lis_u64(int64_t n, const uint64_t *a, int64_t *out) {
         k = P[k];
     }
     return L;
+}
+
+// ---- k-mer anchoring (host side of the chaining heuristic) ----------
+//
+// Semantics: reference mg_fc_kmer + the match-pair half of mg_chain
+// (miniwfa.c:699-765): 2-bit rolling k-mers (A0 C1 G2 T3, anything else
+// resets the window), combined code (kmer<<1|rid)<<32|end_pos, groups
+// with 1 <= occ <= max_occ PER SIDE emit the cross product
+// pos_t<<32|pos_q.  numpy does this in ~25 s at 5 Mb on one core (the
+// k-wide shift loop and the group bookkeeping each make full passes
+// over 10M-element arrays); this single-pass C++ runs it in well under
+// a second, which is what makes chain/auto mode competitive with the
+// reference at Mb scale.
+
+static const uint8_t NT4[256] = {
+    // A=0 C=1 G=2 T/U=3, else 4 (reference seq_nt4_table)
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,0,4,1,4,4,4,2,4,4,4,4,4,4,4,4, 4,4,4,4,3,3,4,4,4,4,4,4,4,4,4,4,
+    4,0,4,1,4,4,4,2,4,4,4,4,4,4,4,4, 4,4,4,4,3,3,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+    4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+};
+
+static int64_t emit_codes(const char *s, int64_t n, uint32_t rid, int32_t k,
+                          uint64_t *out) {
+    uint64_t x = 0, mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+    int32_t l = 0;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t c = NT4[(uint8_t)s[i]];
+        if (c < 4) {
+            x = ((x << 2) | c) & mask;
+            if (++l >= k)
+                out[m++] = ((x << 1 | rid) << 32) | (uint64_t)(uint32_t)i;
+        } else {
+            l = 0;
+        }
+    }
+    return m;
+}
+
+// LSB radix sort of uint64 keys, 8-bit digits (textbook counting sort
+// per byte; stable).  ~6x faster than std::sort at the 10M scale the
+// 5 Mb pairs produce.
+static void radix_sort_u64(uint64_t *a, int64_t n, uint64_t *tmp) {
+    uint64_t *orig = a;
+    for (int pass = 0; pass < 8; ++pass) {
+        int64_t cnt[257] = {0};
+        int sh = pass * 8;
+        for (int64_t i = 0; i < n; ++i) ++cnt[((a[i] >> sh) & 0xff) + 1];
+        if (cnt[1] == n) continue;  // all-zero digit: pass is identity
+        for (int i = 0; i < 256; ++i) cnt[i + 1] += cnt[i];
+        for (int64_t i = 0; i < n; ++i) tmp[cnt[(a[i] >> sh) & 0xff]++] = a[i];
+        uint64_t *t = a;  // ping-pong
+        a = tmp;
+        tmp = t;
+    }
+    if (a != orig) memcpy(orig, a, (size_t)n * sizeof(uint64_t));
+}
+
+// kmer codes of one sequence; out must hold n entries.  Returns count.
+int64_t mwf_kmer_codes(const char *s, int64_t n, uint32_t rid, int32_t k,
+                       uint64_t *out) {
+    return emit_codes(s, n, rid, k, out);
+}
+
+// Sorted match pairs pos_t<<32|pos_q for k-mers in both sequences with
+// per-side occurrence <= max_occ.  scratch must hold 2*(tn+qn) uint64;
+// out holds cap entries.  Returns pair count, or -1 if cap exceeded.
+int64_t mwf_match_pairs(const char *ts, int64_t tn, const char *qs,
+                        int64_t qn, int32_t k, int32_t max_occ,
+                        uint64_t *scratch, uint64_t *out, int64_t cap) {
+    uint64_t *a = scratch;
+    int64_t n = emit_codes(ts, tn, 0, k, a);
+    n += emit_codes(qs, qn, 1, k, a + n);
+    uint64_t *tmp = scratch + (tn + qn);
+    // 8 passes ping-pong a <-> tmp and end back in a (even count)
+    radix_sort_u64(a, n, tmp);
+    int64_t m = 0;
+    for (int64_t g = 0; g < n;) {
+        uint64_t key = a[g] >> 33;
+        int64_t h = g;
+        while (h < n && (a[h] >> 33) == key) ++h;
+        // rid=0 entries sort before rid=1 within a group (rid bit above pos)
+        int64_t mid = g;
+        while (mid < h && ((a[mid] >> 32) & 1) == 0) ++mid;
+        int64_t n0 = mid - g, n1 = h - mid;
+        if (n0 >= 1 && n1 >= 1 && n0 <= max_occ && n1 <= max_occ) {
+            for (int64_t u = g; u < mid; ++u)
+                for (int64_t v = mid; v < h; ++v) {
+                    if (m >= cap) return -1;
+                    out[m++] = ((a[u] & 0xffffffffull) << 32) |
+                               (a[v] & 0xffffffffull);
+                }
+        }
+        g = h;
+    }
+    if (m <= 2 * (tn + qn))   // scratch doubles as the radix tmp buffer
+        radix_sort_u64(out, m, scratch);
+    else                      // only reachable at max_occ > 2
+        std::sort(out, out + m);
+    return m;
 }
 
 }  // extern "C"
