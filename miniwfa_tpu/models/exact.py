@@ -341,11 +341,21 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
 def _run_device(opt: Options, mode: int, bk: _Buckets,
                 ts_list: List[bytes], qs_list: List[bytes],
                 segs: Optional[List[Optional[Seg]]] = None):
+    from ..utils import hbm
     cpw = _cpw_for(ts_list, qs_list)
     if _kernel_eligible(opt, mode, bk, ts_list, qs_list, cpw):
-        return _run_device_kernel(opt, mode, bk, ts_list, qs_list, segs, cpw)
+        out, spec = _run_device_kernel(opt, mode, bk, ts_list, qs_list,
+                                       segs, cpw)
+        hbm.note_arrays(f"kernel mode={mode} B={spec.B} W={spec.WR * 128} "
+                        f"S_CAP={spec.S_CAP}", out)
+        return out, spec
     if _wide_eligible(opt, mode, bk, ts_list, qs_list, cpw):
-        return _run_device_wide(opt, mode, bk, ts_list, qs_list, cpw)
+        # the wide engine also notes its resident DP planes internally
+        # (run_chunked) — they are freed before this returns
+        out, spec = _run_device_wide(opt, mode, bk, ts_list, qs_list, cpw)
+        hbm.note_arrays(f"wide-out mode={mode} B={spec.B} "
+                        f"W={spec.WR * 128} S_CAP={spec.S_CAP}", out)
+        return out, spec
     n = len(ts_list)
     B = bk.B
     use_seg = segs is not None and any(segs)
@@ -377,6 +387,8 @@ def _run_device(opt: Options, mode: int, bk: _Buckets,
                 seg_d[i, : len(sg)] = [d for _, d in sg]
                 n_seg[i] = len(sg)
     out = fn(t_pad, q_pad, tl, ql, seg_s, seg_d, n_seg)
+    hbm.note_arrays(f"lax mode={mode} B={B} W={bk.W} S_CAP={bk.S_CAP}",
+                    dict(out))
     return out, spec
 
 
@@ -403,20 +415,25 @@ def _pass1_lane_cap(opt: Options, bk: _Buckets) -> int:
     return _prev_pow2(max(1, PASS1_SNAP_BUDGET // max(per_lane, 1)))
 
 
-def _pass1_w_cap(ts_list, qs_list) -> int:
+def _pass1_w_cap(opt: Options, ts_list, qs_list) -> int:
     """Largest pass-1 band window the backend can serve.  On TPU the
     fused VMEM kernel takes PASS1 up to W=32768 (its sf shadow rings
     double the ring VMEM) and the wide HBM-ring engine
     (ops/wavefront_wide.py) carries it to WIDE_W_CAP; sequences beyond
-    the segmented word-table capacity fall to the lax engine, capped
-    below its known-bad W=16384 region (PERF_NOTES.md)."""
+    the segmented word-table capacity (or penalty sets past the packed
+    viability plane's 31 states) fall to the lax engine, capped at its
+    structural TPU limit (ops.wavefront.LAX_TPU_W_CAP — the W=16384
+    fault region is unreachable by construction)."""
     if jax.default_backend() != "tpu":
         return 1 << 30
     from ..ops import wavefront_kernel as wk
+    from ..ops.wavefront import LAX_TPU_W_CAP
+    if opt.max_pen + 1 > 31:
+        return LAX_TPU_W_CAP
     cpw = _cpw_for(ts_list, qs_list)
     mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
              default=0)
-    return WIDE_W_CAP if wk.nseg_for(mx, cpw) <= 64 else 8192
+    return WIDE_W_CAP if wk.nseg_for(mx, cpw) <= 64 else LAX_TPU_W_CAP
 
 
 def _estimate_s(opt: Options, ts_list, qs_list) -> Tuple[int, int]:
@@ -461,7 +478,7 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
     score (pass 2 reaches exactly the same score, so its cycle budget
     can be sized precisely instead of laddered)."""
     ns = opt.max_pen + 1
-    w_cap = _pass1_w_cap(ts_list, qs_list)
+    w_cap = _pass1_w_cap(opt, ts_list, qs_list)
     if bk.W > w_cap:
         bk = _Buckets(bk.B, bk.LT, bk.LQ, w_cap, bk.S_CAP,
                       bk.W_full, bk.S_full)
@@ -614,25 +631,54 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
     return segs, s_fin  # type: ignore[return-value]
 
 
-def _device_w_cap(mode, bk, ts_list, qs_list) -> int:
+def _device_w_cap(opt: Options, mode, bk, ts_list, qs_list) -> int:
     """Largest band window the current backend can serve for this batch.
     On TPU: score-only batches escalate through the fused VMEM kernel
     (W<=65536) into the wide HBM-ring engine (W<=WIDE_W_CAP); CIGAR
     (MODE_TB) stays on the VMEM kernel — high-mem tb at wider bands
     exceeds HBM exactly as it exceeds RAM for the reference
     (README.md:98); use the low-mem mode there.  Sequences beyond the
-    segmented word-table capacity fall to the lax engine, capped below
-    its known-bad W=16384 region (PERF_NOTES.md); on CPU there is no
-    cap."""
+    segmented word-table capacity (or penalty sets past the packed
+    viability plane) fall to the lax engine, capped at its structural
+    TPU limit (ops.wavefront.LAX_TPU_W_CAP); on CPU there is no cap."""
     if jax.default_backend() != "tpu":
         return 1 << 30
-    cpw = _cpw_for(ts_list, qs_list)
     from ..ops import wavefront_kernel as wk
+    from ..ops.wavefront import LAX_TPU_W_CAP
+    if opt.max_pen + 1 > 31:
+        return LAX_TPU_W_CAP
+    cpw = _cpw_for(ts_list, qs_list)
     mx = max([len(s) for s in ts_list] + [len(s) for s in qs_list],
              default=0)
     if wk.nseg_for(mx, cpw) > 64:
-        return 8192
+        return LAX_TPU_W_CAP
     return 65536 if mode == MODE_TB else WIDE_W_CAP
+
+
+def _band_limit_error(opt: Options, mode: int, W: int,
+                      w_cap: int) -> RuntimeError:
+    """The band outgrew the largest device-servable window.
+
+    For high-mem CIGAR mode this is a DOCUMENTED capability boundary,
+    not a failure to route around: the 1 B/cell traceback table at
+    multi-Mb scale is tens-to-hundreds of GB (the reference itself
+    needs 50.6 GB of host RAM for its 5 Mb pair, README.md:98) — far
+    past a 16 GB-HBM chip, and past streaming over a ~25 ms/RPC device
+    tunnel.  The supported routes are the ones the reference documents
+    for the same wall: the low-mem stripe mode (bit-identical score AND
+    CIGAR, 'use -p') or the chain/auto heuristics."""
+    if mode == MODE_TB and opt.step <= 0 and opt.cigar:
+        return RuntimeError(
+            f"high-mem CIGAR traceback exceeds device memory at this "
+            f"scale (band W={W} > device cap {w_cap}; the tb table is "
+            f"1 byte/cell — the reference needs 50.6 GB host RAM for "
+            f"its 5 Mb pair).  Use the low-mem stripe mode (-p / "
+            f"Options(step=5000): bit-identical score and CIGAR) or "
+            f"the chain/auto mode (-u / -t).")
+    return RuntimeError(
+        f"band window exceeded the device limit (W={W}, cap {w_cap}) "
+        f"— use the chain or auto mode for this pair, or the CPU "
+        f"backend")
 
 
 def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
@@ -661,7 +707,7 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         # ever re-runs for the band window, never for the cycle budget
         bk = _Buckets(bk.B, bk.LT, bk.LQ, bk.W, bk.S_full,
                       bk.W_full, bk.S_full)
-    w_cap = _device_w_cap(mode, bk, ts_list, qs_list)
+    w_cap = _device_w_cap(opt, mode, bk, ts_list, qs_list)
     if bk.W > w_cap:
         bk = _Buckets(bk.B, bk.LT, bk.LQ, w_cap, bk.S_CAP,
                       bk.W_full, bk.S_full)
@@ -826,10 +872,7 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
             if need_band and cur_bk.W >= min(cur_bk.W_full, w_cap):
                 # the band outgrew the largest device-servable window
                 if band_limit != "stop":
-                    raise RuntimeError(
-                        f"band window exceeded the device limit "
-                        f"(W={cur_bk.W}, cap {w_cap}) — use the chain or "
-                        f"auto mode for this pair, or the CPU backend")
+                    raise _band_limit_error(opt, mode, cur_bk.W, w_cap)
                 kept = []
                 for j, i in enumerate(idx):
                     if ovf_b[j]:

@@ -119,6 +119,8 @@ def align_tiny_batch(pairs: Sequence[Tuple[object, object]],
             [qs_list[gi] for gi in sel] + [b""] * (gp - g), cpw)
         fn = wg.get_gaps_kernel(spec, interpret=interp)
         out, tb = fn(meta, seqt, seqq)
+        from ..utils import hbm
+        hbm.note_arrays(f"gaps mode={mode} G={gp} S_CAP={scap}", out, tb)
         out = np.asarray(out)
 
         walk_cigs = None

@@ -795,9 +795,37 @@ def build_aligner(spec: WfSpec):
     return run
 
 
+LAX_TPU_W_CAP = 8192
+
+
+def check_lax_tpu_w(W: int, backend: str | None = None) -> None:
+    """Structural guard for the lax engine's known-bad TPU region.
+
+    W=16384 lax dispatches reproducibly kill the TPU worker on
+    indel-bearing >=32 kb pairs (PERF_NOTES.md KNOWN ISSUE, open since
+    round 2).  Rather than route around it per call site, the engine
+    itself refuses TPU dispatches above LAX_TPU_W_CAP: the fused VMEM
+    kernel (W<=65536) and the wide HBM-ring engine (W<=2^20) cover
+    every eligible shape there, and drivers cap ineligible sequences'
+    windows.  MWF_LAX_W_UNSAFE=1 bypasses the guard (bisection work
+    only)."""
+    import os
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu" and W > LAX_TPU_W_CAP and \
+            not os.environ.get("MWF_LAX_W_UNSAFE"):
+        raise RuntimeError(
+            f"lax engine W={W} > {LAX_TPU_W_CAP} on TPU: this region "
+            f"reproducibly faults the device worker (PERF_NOTES.md "
+            f"KNOWN ISSUE); the kernel/wide engines serve these shapes "
+            f"— driver routing bug.  Set MWF_LAX_W_UNSAFE=1 to bypass "
+            f"for bisection.")
+
+
 @functools.lru_cache(maxsize=256)
 def get_aligner(spec: WfSpec):
     """Jitted single-host aligner for a static spec."""
+    check_lax_tpu_w(spec.W)
     return jax.jit(build_aligner(spec))
 
 
@@ -822,6 +850,7 @@ def get_sharded_aligner(spec: WfSpec, mesh, axis: str = "data"):
     (pure data parallelism — the scale-out strategy per SURVEY.md §2's
     parallelism inventory), and the cell-throughput counter is merged with
     a psum over the mesh.  spec.B must be divisible by the axis size."""
+    check_lax_tpu_w(spec.W)
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map

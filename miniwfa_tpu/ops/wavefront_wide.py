@@ -1273,6 +1273,10 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
                 state[4] = jnp.concatenate([state[4], pad], axis=1)
                 spec = dataclasses.replace(spec, n_snap=n2)
                 fn = _get_call(spec, interpret)
+        from ..utils import hbm
+        hbm.note_arrays(
+            f"wide-planes mode={spec.mode} B={spec.B} W={spec.W} "
+            f"n_snap={spec.n_snap}", state, twt, twq)
         outs = fn(jnp.asarray(full), twt, twq, *state)
         o = np.asarray(outs[0])
         state = list(outs[1:])

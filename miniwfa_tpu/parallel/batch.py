@@ -170,11 +170,15 @@ def _run_sharded(opt: Options, mode: int, bk, mesh, axis, ts_list, qs_list,
     B = _next_mult(max(1, len(idx)), ndev)
     cpw = _cpw_for(ts_list, qs_list)
     kbk = _Buckets(B, bk.LT, bk.LQ, W, S_CAP, bk.W_full, bk.S_full)
+    from ..utils import hbm
     if _kernel_eligible(opt, mode, kbk,
                         [ts_list[i] for i in idx],
                         [qs_list[i] for i in idx], cpw):
-        return _run_sharded_kernel(opt, mode, mesh, axis, ts_list, qs_list,
-                                   idx, B, W, S_CAP, segs, cpw)
+        out, spec = _run_sharded_kernel(opt, mode, mesh, axis, ts_list,
+                                        qs_list, idx, B, W, S_CAP, segs, cpw)
+        hbm.note_arrays(f"sharded-kernel mode={mode} B={B} W={W} "
+                        f"S_CAP={S_CAP}", out)
+        return out, spec
     use_seg = segs is not None and any(segs[i] for i in idx)
     seg_cap = max((len(segs[i]) for i in idx if segs[i]), default=0) + 1 \
         if use_seg else 1
@@ -209,7 +213,10 @@ def _run_sharded(opt: Options, mode: int, bk, mesh, axis, ts_list, qs_list,
         seg_s, seg_d, n_seg,
     )
     args = tuple(jax.device_put(a, shard) for a in args)
-    return fn(*args), spec
+    out = fn(*args)
+    hbm.note_arrays(f"sharded-lax mode={mode} B={B} W={W} S_CAP={S_CAP}",
+                    dict(out))
+    return out, spec
 
 
 def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,

@@ -43,9 +43,12 @@ def main():
     names = [c["name"] for c in cases]
     fails = []
 
+    from miniwfa_tpu.utils import hbm
+
     def check(tag, opt, want_key, subset=None):
         idx = list(range(len(pairs))) if subset is None else subset
         want = g["runs"][want_key]
+        hbm.reset()
         t0 = time.perf_counter()
         res = align_batch([pairs[i] for i in idx], opt, w0=1024)
         dt = time.perf_counter() - t0
@@ -63,7 +66,9 @@ def main():
         print(f"{tag:14s} {len(idx)-bad}/{len(idx)} ok  [{dt:.1f}s]",
               flush=True)
         SUMMARY["checks"].append(dict(tag=tag, n=len(idx), bad=bad,
-                                      wall_s=round(dt, 2)))
+                                      wall_s=round(dt, 2),
+                                      peak_hbm_gb=hbm.snapshot()
+                                      ["peak_dispatch_gb"]))
 
     check("score", Options(**pen), "score")
     check("cigar", Options(**pen, cigar=True), "cigar")
@@ -111,6 +116,7 @@ def main():
         for mode, want in ent.items():
             if mode in ("tl", "ql"):
                 continue
+            hbm.reset()
             t0 = time.perf_counter()
             if mode == "score":
                 r = align_batch([(ts, qs)], Options(**pen))[0]
@@ -144,7 +150,8 @@ def main():
                   flush=True)
             SUMMARY["checks"].append(dict(
                 tag=f"{nm}/{mode}", n=1, bad=bad, wall_s=round(dt, 2),
-                ref_wall_s=want.get("ref_wall_s")))
+                ref_wall_s=want.get("ref_wall_s"),
+                peak_hbm_gb=hbm.snapshot()["peak_dispatch_gb"]))
 
     SUMMARY["ok"] = not fails
     SUMMARY["backend"] = jax.default_backend()
