@@ -40,10 +40,13 @@ Options:
   -a       mimic affine gap
   -e       mimic edit distance
   -B INT   batch size for device dispatch [64]
+  -T       true per-pair timing: dispatch one pair at a time (the
+           reference's per-pair semantics, main.c:12-17,83; costs the
+           batching throughput)
   -K       (accepted for compatibility; no allocator to disable)
   -d       debug logging
-Timing: stderr 'T' lines report the batch wall time amortized per pair
-(batched device dispatch), not true per-pair CPU time like the reference.
+Timing: by default stderr 'T' lines report the batch wall time amortized
+per pair (batched device dispatch); -T makes them true per-pair walls.
 """
 
 
@@ -52,7 +55,7 @@ def main(argv=None) -> int:
     try:
         # gnu_getopt permutes argv like the reference's ketopt
         # (ketopt.h:56-120): `mwf-tpu t.fa q.fa -c` parses
-        opts, args = getopt.gnu_getopt(argv, "cKdep:autl:f:B:")
+        opts, args = getopt.gnu_getopt(argv, "cKdeTp:autl:f:B:")
     except getopt.GetoptError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
@@ -79,6 +82,8 @@ def main(argv=None) -> int:
             mode = 2
         elif o == "-B":
             batch_size = int(a)
+        elif o == "-T":
+            batch_size = 1   # per-pair dispatch => true per-pair T lines
         elif o == "-d":
             debug = True
     if len(args) < 2:

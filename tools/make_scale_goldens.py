@@ -47,6 +47,42 @@ def gen_case(name):
         rng = random.Random(5001)
         t = "".join(rng.choice("ACGT") for _ in range(5_000_000))
         return t, mutate(rng, t, sub=0.008, ind=0.002)
+    # --- adversarial cases (VERDICT r3 Missing #2 / Next #5): what real
+    # genomic pairs stress that uniform divergence does not ---
+    if name == "sv300k":
+        # multi-kb structural variants both ways: a 20 kb deletion, a
+        # 15 kb insertion, a 3 kb deletion and a 2 kb insertion over 1%
+        # background divergence — stresses dual-affine long-gap costing
+        # (o2+l*e2) and band shrink after large excursions
+        rng = random.Random(3001)
+        t = "".join(rng.choice("ACGT") for _ in range(300_000))
+        ins15 = "".join(rng.choice("ACGT") for _ in range(15_000))
+        ins2 = "".join(rng.choice("ACGT") for _ in range(2_000))
+        q = (t[:50_000] + t[70_000:150_000] + ins15 +
+             t[150_000:200_000] + t[203_000:250_000] + ins2 + t[250_000:])
+        return t, mutate(rng, q, sub=0.01, ind=0.0005)
+    if name == "rep200k":
+        # tandem repeat arrays (67 bp and 171 bp units) with copy-number
+        # differences between the sides — stresses the chain mode's
+        # max_occ k-mer filter and traceback through repeat ambiguity
+        rng = random.Random(2002)
+        u1 = "".join(rng.choice("ACGT") for _ in range(67))
+        u2 = "".join(rng.choice("ACGT") for _ in range(171))
+        fill = ["".join(rng.choice("ACGT") for _ in range(n))
+                for n in (60_000, 50_000, 70_000)]
+        t = fill[0] + u1 * 150 + fill[1] + u2 * 60 + fill[2]
+        q = fill[0] + u1 * 138 + fill[1] + u2 * 66 + fill[2]
+        return t, mutate(rng, q, sub=0.01, ind=0.0005)
+    if name == "dissim150k":
+        # a 12 kb internal region replaced with unrelated sequence on the
+        # query side (both sides >= 10 kb, ksim < 0.02) — the chain
+        # mode's D+I shortcut trigger (miniwfa.c:869-875), costed
+        # 2*o2 + e2*(l1+l2)
+        rng = random.Random(1501)
+        t = "".join(rng.choice("ACGT") for _ in range(150_000))
+        novel = "".join(rng.choice("ACGT") for _ in range(12_000))
+        q = t[:60_000] + novel + t[72_000:]
+        return t, mutate(rng, q, sub=0.015, ind=0.001)
     raise KeyError(name)
 
 
@@ -80,6 +116,12 @@ CASE_MODES = {
     "del50k": ["score", "cigar", "lowmem_p5000", "auto"],
     "div100k": ["score", "cigar", "lowmem_p5000", "chain", "auto"],
     "div5m": ["lowmem_p5000", "auto"],
+    # adversarial fixtures: high-mem CIGAR is out of device reach at
+    # these band widths (the documented -p boundary), so the exact modes
+    # are score + low-mem; chain/auto pin the heuristic paths
+    "sv300k": ["score", "lowmem_p5000", "chain", "auto"],
+    "rep200k": ["score", "lowmem_p5000", "chain", "auto"],
+    "dissim150k": ["score", "lowmem_p5000", "chain", "auto"],
 }
 
 

@@ -102,8 +102,11 @@ def main():
     from miniwfa_tpu.models.chain import align_chain_batch
     sg = json.load(open(os.path.join(os.path.dirname(__file__), "..",
                                      "tests", "data", "scale_goldens.json")))
-    scale_names = ["del50k", "div100k"] + (["div5m"] if "--5m" in sys.argv
-                                           else [])
+    scale_names = ["del50k", "div100k",
+                   # adversarial fixtures (VERDICT r3 #5): SV-rich,
+                   # tandem-repeat and ksim-shortcut pairs
+                   "sv300k", "rep200k", "dissim150k"] + \
+        (["div5m"] if "--5m" in sys.argv else [])
 
     def cig_md5(r):
         return hashlib.md5(r.cigar_str.encode()).hexdigest() \
@@ -152,6 +155,33 @@ def main():
                 tag=f"{nm}/{mode}", n=1, bad=bad, wall_s=round(dt, 2),
                 ref_wall_s=want.get("ref_wall_s"),
                 peak_hbm_gb=hbm.snapshot()["peak_dispatch_gb"]))
+
+    # --- sharded path on a single-chip mesh (VERDICT r3 weak #3): the
+    # sharded driver must serve the same workloads align_batch does —
+    # incl. wide-engine territory (the 5 Mb low-mem pair under --5m)
+    from jax.sharding import Mesh
+    from miniwfa_tpu.parallel.batch import align_batch_sharded
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    for nm in ["div100k"] + (["div5m"] if "--5m" in sys.argv else []):
+        ts, qs = gen_case(nm)
+        ts, qs = ts.encode(), qs.encode()
+        want = sg[nm]["lowmem_p5000"]
+        hbm.reset()
+        t0 = time.perf_counter()
+        r = align_batch_sharded([(ts, qs)],
+                                Options(**pen, cigar=True, step=5000), mesh)[0]
+        dt = time.perf_counter() - t0
+        bad = 0
+        if r.s != want["s"] or (want.get("cigar_md5")
+                                and cig_md5(r) != want["cigar_md5"]):
+            fails.append(f"sharded/{nm}: s={r.s} want {want['s']}")
+            bad = 1
+        print(f"sharded/{nm}/lowmem {'ok' if not bad else 'FAIL'} "
+              f"s={r.s} [{dt:.1f}s]", flush=True)
+        SUMMARY["checks"].append(dict(tag=f"sharded/{nm}/lowmem", n=1,
+                                      bad=bad, wall_s=round(dt, 2),
+                                      peak_hbm_gb=hbm.snapshot()
+                                      ["peak_dispatch_gb"]))
 
     SUMMARY["ok"] = not fails
     SUMMARY["backend"] = jax.default_backend()
