@@ -483,7 +483,9 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
         bk = _Buckets(bk.B, bk.LT, bk.LQ, w_cap, bk.S_CAP,
                       bk.W_full, bk.S_full)
     if jax.default_backend() == "tpu" and len(ts_list) <= 64 \
-            and 8192 < bk.W_full <= 262144:
+            and bk.W_full > 8192:
+        # (the w_est <= 32768 check below keeps this to VMEM-kernel
+        # territory; wide-territory pairs size in the W > 32768 block)
         # VMEM-kernel pass-1 territory (the wide-territory block below
         # has its own upfront sizing): size the first dispatch from the
         # k-mer divergence estimate instead of laddering W and S_CAP —
@@ -495,9 +497,11 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
                           for t, q in zip(ts_list, qs_list)), default=0)
             w_est = _next_pow2(2 * s_band_e + d_span + 4 * ns + 64)
             if w_est <= min(32768, w_cap):
+                # REPLACE the caller's hints (cf. the TB-mode sizing):
+                # an oversized S_CAP inflates the snapshot row count
                 s_est = min(_next_pow2(s_cap_e), bk.S_full)
-                bk = _Buckets(bk.B, bk.LT, bk.LQ, max(bk.W, w_est),
-                              max(bk.S_CAP, s_est), bk.W_full, bk.S_full)
+                bk = _Buckets(bk.B, bk.LT, bk.LQ, w_est, s_est,
+                              bk.W_full, bk.S_full)
     idx = list(range(len(ts_list)))
     segs: List[Optional[Seg]] = [None] * len(ts_list)
     s_fin: List[int] = [0] * len(ts_list)
@@ -556,12 +560,19 @@ def _run_pass1(opt: Options, bk: _Buckets, ts_list, qs_list
         bk = _Buckets(_next_pow2(max(1, len(chunk))), bk.LT, bk.LQ, bk.W,
                       bk.S_CAP, bk.W_full, bk.S_full)
         idx = chunk
+        prof = os.environ.get("MWF_PROF")
+        if prof:
+            import time as _time
+            _t0 = _time.perf_counter()
         out, spec = _run_device(opt, MODE_PASS1, bk,
                                 [ts_list[i] for i in idx],
                                 [qs_list[i] for i in idx])
         fetched = jax.device_get(
             {k: out[k] for k in ("overflow", "snap_cnt", "last_ptr",
                                  "final_s", "ovf_band", "ovf_scap")})
+        if prof:
+            print(f"[prof] pass1 B={len(idx)} W={bk.W} S_CAP={bk.S_CAP} "
+                  f"dispatch={_time.perf_counter() - _t0:.3f}s", flush=True)
         ovf = fetched["overflow"][: len(idx)]
         snap_cnt = fetched["snap_cnt"]
         last_ptr = fetched["last_ptr"]
@@ -729,7 +740,10 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
         elif mode == MODE_TB and opt.step <= 0:
             # high-mem CIGAR: the tb buffer is S_CAP*W bytes/lane, so W
             # must stay near the real band — size both from the k-mer
-            # divergence estimate (ladder remains the backstop)
+            # divergence estimate, REPLACING the caller's w0/s0 hints (a
+            # generous hint would inflate the tb buffer and split the
+            # batch into more lane-budget chunks; the escalation ladder
+            # backstops an underestimate either way)
             s_cap_e, s_band_e = _estimate_s(opt, ts_list, qs_list)
             if s_cap_e:
                 d_span = max((abs(len(q) - len(t))
@@ -737,9 +751,9 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 w_est = min(_next_pow2(2 * s_band_e + d_span + 2 * ns + 24),
                             bk.W_full, w_cap)
                 s_est = min(_next_pow2(s_cap_e), bk.S_full)
-                if s_est * max(w_est, bk.W) <= TB_LANE_BUDGET:
-                    bk = _Buckets(bk.B, bk.LT, bk.LQ, max(bk.W, w_est),
-                                  max(bk.S_CAP, s_est), bk.W_full, bk.S_full)
+                if s_est * w_est <= TB_LANE_BUDGET:
+                    bk = _Buckets(bk.B, bk.LT, bk.LQ, w_est, s_est,
+                                  bk.W_full, bk.S_full)
 
     segs: Optional[List[Optional[Seg]]] = None
     if opt.step > 0 and opt.cigar:
@@ -782,6 +796,10 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                           cur_bk.LQ, cur_bk.W, cur_bk.S_CAP,
                           cur_bk.W_full, cur_bk.S_full)
         sub_segs = [segs[i] for i in idx] if segs is not None else None
+        prof = os.environ.get("MWF_PROF")
+        if prof:
+            import time as _time
+            _t0 = _time.perf_counter()
         out, spec = _run_device(opt, mode, cur_bk,
                                 [ts_list[i] for i in idx],
                                 [qs_list[i] for i in idx], sub_segs)
@@ -792,6 +810,8 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
             {k: out[k] for k in ("overflow", "stopped", "final_s",
                                  "n_iter_lo", "n_iter_hi", "last_state",
                                  "ovf_band", "ovf_scap")})
+        if prof:
+            _td = _time.perf_counter()
         ovf = fetched["overflow"][: len(idx)]
         stopped = fetched["stopped"][: len(idx)]
         final_s = fetched["final_s"][: len(idx)]
@@ -823,6 +843,11 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                 np.where(skip, 0, fsb), last_state[:nb],
                 out["kernel_cpw"],
                 (opt.x, opt.o1, opt.e1, opt.o2, opt.e2), skip=skip)
+        if prof:
+            _t1 = _time.perf_counter()
+            print(f"[prof] mode={mode} B={len(idx)} W={cur_bk.W} "
+                  f"S_CAP={cur_bk.S_CAP} dispatch={_td - _t0:.3f}s "
+                  f"walk={_t1 - _td:.3f}s", flush=True)
         retry = []
         for j, i in enumerate(idx):
             if ovf[j]:

@@ -7,10 +7,11 @@ word = 1 byte/cell; ~GBs at 100 kb-5 Mb scale) and hauling it to the host
 dwarfs the alignment itself; instead the O(n+s) walk runs on-device as a
 ``lax.while_loop`` and only the packed CIGAR runs (a few 100 KB) come back.
 
-Match runs are consumed 16 chars per iteration with *backward* packed-word
-probes (count-leading-zeros of the XOR — the mirror of the kernel's
-forward ctz probes); DP steps decode the tb byte with the exact reference
-semantics (state/ext bits, per-state score decrements, leading overhang).
+Match runs are consumed up to 112 chars per iteration from ONE wide
+*backward* window per side (an 8-word dynamic slice, funnel-aligned;
+count-leading-zeros of the XOR — the mirror of the kernel's forward ctz
+probes); DP steps decode the tb byte with the exact reference semantics
+(state/ext bits, per-state score decrements, leading overhang).
 
 Emits packed (len<<4|op) runs newest-first with on-device run merging;
 the host reverses the slice.  Ops: 1=I 2=D 7='=' 8='X' (htslib packing,
@@ -41,31 +42,6 @@ def _build_walk(S_CAP: int, WR4: int, cpw: int,
     LOGC = {16: 4, 4: 2}[cpw]
     LOGB = {16: 1, 4: 3}[cpw]
 
-    def word_at(words, pos):
-        """Packed word of cpw chars starting at char ``pos``; words is the
-        flat [NW] stream, chars little-endian within a word.  A negative
-        ``pos`` left-shifts so char index c still maps to sequence position
-        pos+c (the shifted-in low chars are garbage the caller masks)."""
-        p = jnp.maximum(pos, 0)
-        j = jnp.right_shift(p, LOGC)
-        # one 2-word dynamic_slice instead of two indexed reads: the
-        # per-gather fixed cost dominates the walk loop (PERF_NOTES)
-        w01 = lax.dynamic_slice(
-            words, (jnp.minimum(j, words.shape[0] - 2),), (2,))
-        w0, w1 = w01[0], w01[1]
-        off = jnp.bitwise_and(p, cpw - 1)
-        sh = (off * BITS).astype(jnp.uint32)
-        lo = jnp.right_shift(w0.astype(jnp.uint32), sh)
-        hi = jnp.where(off == 0, jnp.uint32(0),
-                       jnp.left_shift(w1.astype(jnp.uint32),
-                                      jnp.uint32(32) - sh))
-        w = lo | hi
-        neg = jnp.maximum(-pos, 0)
-        return jnp.where(
-            neg > 0,
-            jnp.left_shift(w, jnp.minimum(neg * BITS, 31).astype(jnp.uint32)),
-            w)
-
     def walk(tb, anc, tl, ql, tw, qw, s_final, last_state):
         """tb: [S_CAP, WR4, 128] int32 packed (band row r = byte r%4 of
         packed row r//4); tw/qw: flat packed word streams.
@@ -73,6 +49,14 @@ def _build_walk(S_CAP: int, WR4: int, cpw: int,
         # each DP step decrements srow by >=1 (<= S_CAP pushes) and match
         # runs interleave DP steps (+1), so 2*S_CAP + 8 bounds the pushes
         CAP = 2 * S_CAP + 8
+        # zero-pad the word streams so the wide backward window's slice
+        # start is never clamped (clamping would break the funnel
+        # alignment); padding chars XOR to spurious matches only BELOW
+        # position 0, which the avail cap never lets the run consume
+        PAD = 8
+        NWW = 8   # raw words per backward window: NWW-1 aligned words
+        twp = jnp.pad(tw, (PAD, PAD))
+        qwp = jnp.pad(qw, (PAD, PAD))
 
         def push(buf, nout, op, ln):
             prev = buf[jnp.maximum(nout - 1, 0)]
@@ -97,30 +81,38 @@ def _build_walk(S_CAP: int, WR4: int, cpw: int,
             scalars and selected."""
             i, k, srow, last, buf, nout = c
 
-            # backward probe: cpw chars ENDING at (i-off, k-off); the top
-            # chars of the windows align with the probed positions, so
-            # the match run is the count of leading zero chars of the XOR
-            def probe16(off):
-                wt = word_at(tw, k - off - (cpw - 1))
-                wq = word_at(qw, i - off - (cpw - 1))
-                valid = jnp.clip(jnp.minimum(k, i) + 1 - off, 0, cpw)
-                xw = wt ^ wq
-                # chars below the valid window are garbage: force mismatch
-                nv8 = ((cpw - valid) * BITS).astype(jnp.uint32)
-                mask = jnp.where(valid >= cpw, jnp.uint32(0),
-                                 jnp.right_shift(jnp.uint32(0xFFFFFFFF),
-                                                 jnp.uint32(32) - nv8))
-                xf = xw | mask
-                clz = lax.clz(xf.astype(jnp.int32))
-                return jnp.where(xf == 0, valid,
-                                 jnp.minimum(jnp.right_shift(clz, LOGB),
-                                             valid))
+            # backward probe: ONE (NWW)-word dynamic slice per side,
+            # funnel-shifted into NWW-1 aligned words of chars ENDING at
+            # k / i — the per-slice fixed cost dominates the walk loop
+            # (PERF_NOTES), so one wide window beats stacked narrow
+            # probes: up to (NWW-1)*cpw chars consumed per iteration for
+            # 2 memory ops instead of 6
+            def backwin(words, top):
+                s0 = top + 1 - (NWW - 1) * cpw
+                o = jnp.bitwise_and(top + 1, cpw - 1)
+                w0 = jnp.right_shift(s0, LOGC) + PAD   # arithmetic >> =
+                R = lax.dynamic_slice(words, (w0,), (NWW,))  # floor(s0/cpw)
+                sh = (o * BITS).astype(jnp.uint32)
+                return [jnp.where(
+                    o == 0, R[j],
+                    (jnp.right_shift(R[j].astype(jnp.uint32), sh)
+                     | jnp.left_shift(
+                         R[j + 1].astype(jnp.uint32),
+                         jnp.minimum(jnp.uint32(32) - sh, jnp.uint32(31))))
+                    .astype(jnp.int32)) for j in range(NWW - 1)]
 
-            # stacked probes consume up to 3*cpw chars per iteration
-            # (match runs dominate the walk's iteration count)
-            run = probe16(0)
-            run = run + jnp.where(run >= cpw, probe16(cpw), 0)
-            run = run + jnp.where(run >= 2 * cpw, probe16(2 * cpw), 0)
+            At = backwin(twp, k)
+            Aq = backwin(qwp, i)
+            avail = jnp.minimum(k, i) + 1
+            run = jnp.int32(0)
+            cont = last == 0   # no match run mid-gap-extension
+            for j in reversed(range(NWW - 1)):
+                xj = At[j] ^ Aq[j]
+                lz = jnp.where(xj == 0, cpw,
+                               jnp.right_shift(lax.clz(xj), LOGB))
+                run = run + jnp.where(cont, lz, 0)
+                cont = cont & (xj == 0)
+            run = jnp.minimum(run, avail)
             matching = (last == 0) & (run > 0)
 
             # DP-byte decode (reference miniwfa.c:341-366); rows layout:
@@ -246,6 +238,10 @@ def walk_batch_on_device(tb_packed, ancs, ts_list, qs_list, s_finals,
     packed CIGAR lists (input order).  tb_packed: [B, S_CAP, WR4, 128]
     device array.  Lanes with skip[b] set walk zero-length sequences
     (no iterations, empty result)."""
+    import os
+    import time
+    prof = os.environ.get("MWF_PROF")
+    t0 = time.perf_counter()
     B = int(tb_packed.shape[0])
     S_CAP, WR4 = int(tb_packed.shape[1]), int(tb_packed.shape[2])
     walker = _get_walker_batch(S_CAP, WR4, cpw, *pens)
@@ -261,15 +257,23 @@ def walk_batch_on_device(tb_packed, ancs, ts_list, qs_list, s_finals,
                      for t, sk in zip(ts_list, skip)], np.int32)
     ql = np.asarray([0 if sk else len(q)
                      for q, sk in zip(qs_list, skip)], np.int32)
+    t1 = time.perf_counter()
     packed = np.asarray(walker(
         tb_packed, jnp.asarray(ancs, jnp.int32),
         jnp.asarray(tl), jnp.asarray(ql),
         jnp.asarray(tw), jnp.asarray(qw),
         jnp.asarray(s_finals, jnp.int32),
         jnp.asarray(last_states, jnp.int32)))
+    t2 = time.perf_counter()
     bufs, nouts = packed[:, :-1], packed[:, -1]
-    return [[int(v) for v in bufs[b, :int(nouts[b])][::-1]]
-            for b in range(B)]
+    out = [[int(v) for v in bufs[b, :int(nouts[b])][::-1]]
+           for b in range(B)]
+    if prof:
+        print(f"[prof] walk B={B} pack={t1 - t0:.3f}s "
+              f"device+fetch={t2 - t1:.3f}s convert="
+              f"{time.perf_counter() - t2:.3f}s "
+              f"iters~{int(max(map(len, out), default=0))}", flush=True)
+    return out
 
 
 @functools.lru_cache(maxsize=32)

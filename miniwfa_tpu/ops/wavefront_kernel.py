@@ -592,7 +592,11 @@ def build_kernel(spec: KSpec):
                 k8 = tH[pl.ds(r_abs, SR)]
                 un8 = sun[pl.ds(r_loc, SR)] != 0
                 DD8 = anc + r_abs * 128 + iota2(SR, 0) * 128 + iota2(SR, 1)
-                for _ in range(2):
+                # 4 probes/round measured best (64 chars consumed per
+                # straggler round; 2 probes left long runs re-entering:
+                # cigar 689->756M cells/s, score ~flat, lowmem flat)
+                for _ in range(int(_os.environ.get("MWF_EXT_SUBPROBES",
+                                                   "4"))):
                     k8, un8 = probe_once(r_abs, SR, DD8, k8, un8)
                 tH[pl.ds(r_abs, SR)] = k8
                 sun[pl.ds(r_loc, SR)] = un8.astype(jnp.int32)

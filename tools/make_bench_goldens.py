@@ -34,7 +34,7 @@ def bench_pairs(n, b, seed=7):
 
 def main():
     goldens = {}
-    for n, b in ((100_000, 8), (8_000, 64)):
+    for n, b in ((100_000, 16), (8_000, 64)):
         entries = []
         for i, (t, q) in enumerate(bench_pairs(n, b)):
             want_cigar = n == 100_000   # digest-check every big pair
