@@ -62,6 +62,7 @@ def main(argv=None) -> int:
     opt = Options()
     mode = 0
     batch_size = 64
+    per_pair = False
     debug = False
     for o, a in opts:
         if o == "-c":
@@ -83,9 +84,14 @@ def main(argv=None) -> int:
         elif o == "-B":
             batch_size = int(a)
         elif o == "-T":
-            batch_size = 1   # per-pair dispatch => true per-pair T lines
+            per_pair = True
         elif o == "-d":
             debug = True
+    if per_pair:
+        # -T wins regardless of flag order (-T -B 64 would otherwise
+        # silently re-enable amortized batch timing): per-pair dispatch
+        # => true per-pair T lines
+        batch_size = 1
     if len(args) < 2:
         print(USAGE, file=sys.stderr)
         return 1

@@ -35,7 +35,13 @@ def align_auto_batch(pairs: Sequence[Tuple[object, object]],
             smax = max(res[i].s for i in ok)
             dmax = max(abs(len(as_bytes(pairs[i][0]))
                            - len(as_bytes(pairs[i][1]))) for i in ok)
-            sub = align_batch([pairs[i] for i in ok], o, band_limit="stop",
+            # the probe already enforced the cell budget and the re-run
+            # computes the same cells, so drop max_iter here: with the
+            # budget as a runtime scalar this is cosmetic for compile
+            # sharing, but it removes the stop-at-the-edge corner when
+            # the budget lands mid-band (n_iter within one band width)
+            sub = align_batch([pairs[i] for i in ok],
+                              o.replace(max_iter=0), band_limit="stop",
                               w0=2 * smax + dmax + 2 * ns + 24,
                               s0=smax + 8)
             for i, r in zip(ok, sub):

@@ -232,8 +232,6 @@ def _run_device_wide(opt: Options, mode: int, bk: _Buckets,
         B=B, WR=wr, S_CAP=bk.S_CAP,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
         mode=wk.MODE_PASS1 if is_p1 else wk.MODE_SCORE, cpw=cpw,
-        max_s=0 if is_p1 else opt.max_s,
-        max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
         n_snap=n_snap0,
         nseg=wk.nseg_for(mx, cpw), cr=cr if wr % cr == 0 else 128)
@@ -259,7 +257,10 @@ def _run_device_wide(opt: Options, mode: int, bk: _Buckets,
                                               "wide-interpret")
     # chunked resumable dispatch: no single device call may outlive the
     # TPU worker's ~1 min execution watchdog (ww.run_chunked notes)
-    out = dict(ww.run_chunked(spec, scal, twt, twq, interpret=interp))
+    out = dict(ww.run_chunked(
+        spec, scal, twt, twq, interpret=interp,
+        max_s=0 if is_p1 else opt.max_s,
+        max_iter=0 if is_p1 else opt.max_iter))
     out["kernel_cpw"] = cpw
     out["anc"] = scal[:, wk.SC_ANC]
     # the kspec twin carries every field the checkpoint decoder reads
@@ -296,8 +297,6 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
         mode=kmode, cpw=cpw,
         seg_cap=seg_cap, use_seg=use_seg,
-        max_s=0 if is_p1 else opt.max_s,
-        max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
         n_snap=(bk.S_CAP // opt.step + 2) if is_p1 else 0,
         # nseg from the ACTUAL max length (the value _kernel_eligible
@@ -315,6 +314,12 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
     pad_q = qs_list + [b""] * (B - n)
     nsc = wk.SC_SEG + 2 * seg_cap
     scal = np.zeros((B, nsc), np.int32)
+    # runtime early-stop bounds (kept out of the compile cache key)
+    ms = 0 if is_p1 else opt.max_s
+    mi = 0 if is_p1 else opt.max_iter
+    scal[:, wk.SC_MS] = ms
+    scal[:, wk.SC_MILO] = mi & 0x3FFFFFFF
+    scal[:, wk.SC_MIHI] = mi >> 30
     for i, (t, q) in enumerate(zip(pad_t, pad_q)):
         tl, ql = len(t), len(q)
         d_end = ql - tl

@@ -68,7 +68,7 @@ max_pen+1 <= 31 (bit-packed viability plane).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -98,8 +98,27 @@ MAXR_SAFETY = int(_os.environ.get("MWF_MAXR_SAFETY", 1 << 20))
 # fails in seconds as a visible stuck-lane overflow instead of hanging
 # until the TPU worker watchdog kills the call.
 
-# scalar-input layout (per lane): [tl, ql, anc, n_seg, seg_s..., seg_d...]
-SC_TL, SC_QL, SC_ANC, SC_NSEG, SC_SEG = 0, 1, 2, 3, 4
+# scalar-input layout (per lane): [tl, ql, anc, n_seg, max_s, max_iter_lo,
+# max_iter_hi, seg_s..., seg_d...].  max_s / max_iter are RUNTIME scalars
+# (not KSpec fields): the early-stop bounds (miniwfa.c:422-425) don't
+# change the compiled program, and keeping them out of the cache key lets
+# e.g. the auto driver's budgeted probe (max_iter=1e8, mwf_wfa_auto
+# miniwfa.c:901) reuse the plain score path's warm compile.
+(SC_TL, SC_QL, SC_ANC, SC_NSEG, SC_MS, SC_MILO, SC_MIHI,
+ SC_SEG) = range(8)
+
+
+def _env_subprobes() -> int:
+    """Straggler sub-window probes per round.  Validated at KSpec
+    construction (not kernel-build) so a bad value can't build a
+    livelocking while_loop (0 would never clear un8) or raise mid-build,
+    and the value participates in the lru-cache key (env changes after
+    the first build are honored by later KSpec constructions)."""
+    try:
+        v = int(_os.environ.get("MWF_EXT_SUBPROBES", "4"))
+    except ValueError:
+        v = 4
+    return max(1, v)
 
 # scalar-output layout: [final_s, done, stopped, ovf_band, ovf_scap,
 #                        last_state, n_iter_lo, n_iter_hi, last_ptr, snap_cnt]
@@ -123,13 +142,14 @@ class KSpec:
     cpw: int = 16    # chars per packed word (16 = 2-bit ACGT, 4 = bytes)
     seg_cap: int = 1
     use_seg: bool = False
-    max_s: int = 0
-    max_iter: int = 0
     step: int = 0    # low-mem snapshot period (pass 1)
     n_snap: int = 0  # snapshot row capacity (pass 1)
     nseg: int = 1    # word-table segments (each 128*128 words); the
                      # resident segment lives in VMEM, others in HBM
     cr: int = 8      # sweep chunk rows (multiple of 4, divides WR)
+    subprobes: int = field(default_factory=_env_subprobes)
+    # NOTE: max_s / max_iter are runtime scal columns (SC_MS/SC_MILO/
+    # SC_MIHI), deliberately NOT spec fields — see the layout comment.
 
     @property
     def W(self) -> int:
@@ -313,6 +333,9 @@ def build_kernel(spec: KSpec):
         ql = scal_ref[b, SC_QL]
         anc = scal_ref[b, SC_ANC]
         n_seg = scal_ref[b, SC_NSEG]
+        max_s = scal_ref[b, SC_MS]
+        mi_lo = scal_ref[b, SC_MILO]   # max_iter split like n_iter
+        mi_hi = scal_ref[b, SC_MIHI]
         d_end = ql - tl
         DDP = anc + iota2(WRP, 0) * 128 + iota2(WRP, 1)  # full-pad diag map
 
@@ -595,8 +618,7 @@ def build_kernel(spec: KSpec):
                 # 4 probes/round measured best (64 chars consumed per
                 # straggler round; 2 probes left long runs re-entering:
                 # cigar 689->756M cells/s, score ~flat, lowmem flat)
-                for _ in range(int(_os.environ.get("MWF_EXT_SUBPROBES",
-                                                   "4"))):
+                for _ in range(spec.subprobes):
                     k8, un8 = probe_once(r_abs, SR, DD8, k8, un8)
                 tH[pl.ds(r_abs, SR)] = k8
                 sun[pl.ds(r_loc, SR)] = un8.astype(jnp.int32)
@@ -997,12 +1019,10 @@ def build_kernel(spec: KSpec):
             n_lo = n_lo + jnp.where(act, width, 0)
             n_hi = n_hi + (n_lo >> 30)
             n_lo = n_lo & 0x3FFFFFFF
-            stop = jnp.zeros((), bool)
-            if spec.max_iter > 0:
-                mi_hi, mi_lo = spec.max_iter >> 30, spec.max_iter & 0x3FFFFFFF
-                stop |= (n_hi > mi_hi) | ((n_hi == mi_hi) & (n_lo > mi_lo))
-            if spec.max_s > 0:
-                stop |= t + 1 > spec.max_s
+            # runtime early-stop bounds (miniwfa.c:422-425); 0 = unbounded
+            stop = ((mi_lo | mi_hi) > 0) \
+                & ((n_hi > mi_hi) | ((n_hi == mi_hi) & (n_lo > mi_lo)))
+            stop |= (max_s > 0) & (t + 1 > max_s)
             stopped = stopped | (act & stop)
             return (t + 1, wf_lo, wf_hi, t_lo, t_hi,
                     done.astype(jnp.int32), stopped.astype(jnp.int32),

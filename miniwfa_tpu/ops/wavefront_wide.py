@@ -97,7 +97,10 @@ RS_LIM = 4        # run while t < RS_LIM (this call's cycle budget)
 RS_T = 5
 RS_WLO, RS_WHI, RS_TLO, RS_THI = 6, 7, 8, 9
 RS_NLO, RS_NHI, RS_LP, RS_SNC = 10, 11, 12, 13
-RS_BND = 14       # band registry: bnd_lo[DH] then bnd_hi[DH]
+RS_MS, RS_MILO, RS_MIHI = 14, 15, 16  # runtime max_s / max_iter bounds
+                  # (kept out of WSpec so e.g. the auto probe's
+                  # max_iter=1e8 reuses the plain score compile)
+RS_BND = 17       # band registry: bnd_lo[DH] then bnd_hi[DH]
 
 OW_T, OW_WLO, OW_WHI, OW_TLO, OW_THI, OW_PAUSE = (
     O_N, O_N + 1, O_N + 2, O_N + 3, O_N + 4, O_N + 5)
@@ -131,8 +134,6 @@ class WSpec:
     e2: int
     mode: int = MODE_SCORE
     cpw: int = 16
-    max_s: int = 0
-    max_iter: int = 0
     step: int = 0
     n_snap: int = 0
     nseg: int = 1
@@ -150,8 +151,7 @@ class WSpec:
         """KSpec twin for the shared layout helpers (snapshot decode)."""
         return KSpec(B=self.B, WR=self.WR, S_CAP=self.S_CAP, x=self.x,
                      o1=self.o1, e1=self.e1, o2=self.o2, e2=self.e2,
-                     mode=self.mode, cpw=self.cpw, max_s=self.max_s,
-                     max_iter=self.max_iter, step=self.step,
+                     mode=self.mode, cpw=self.cpw, step=self.step,
                      n_snap=self.n_snap, nseg=self.nseg)
 
 
@@ -247,6 +247,9 @@ def build_kernel_wide(spec: WSpec):
         tl = scal_ref[b, SC_TL]
         ql = scal_ref[b, SC_QL]
         anc = scal_ref[b, SC_ANC]
+        max_s = scal_ref[b, RS_MS]     # runtime early-stop bounds
+        mi_lo = scal_ref[b, RS_MILO]
+        mi_hi_b = scal_ref[b, RS_MIHI]
         d_end = ql - tl
 
         # ---- per-lane init, or resume-state restore (run_chunked)
@@ -1011,13 +1014,10 @@ def build_kernel_wide(spec: WSpec):
             n_lo = n_lo + jnp.where(act, width, 0)
             n_hi = n_hi + (n_lo >> 30)
             n_lo = n_lo & 0x3FFFFFFF
-            stop = jnp.zeros((), bool)
-            if spec.max_iter > 0:
-                mi_hi = spec.max_iter >> 30
-                mi_lo = spec.max_iter & 0x3FFFFFFF
-                stop |= (n_hi > mi_hi) | ((n_hi == mi_hi) & (n_lo > mi_lo))
-            if spec.max_s > 0:
-                stop |= t + 1 > spec.max_s
+            # runtime early-stop bounds (miniwfa.c:422-425); 0 = unbounded
+            stop = ((mi_lo | mi_hi_b) > 0) \
+                & ((n_hi > mi_hi_b) | ((n_hi == mi_hi_b) & (n_lo > mi_lo)))
+            stop |= (max_s > 0) & (t + 1 > max_s)
             stopped = stopped | (act & stop)
             return (t + 1, wf_lo, wf_hi, t_lo, t_hi,
                     done.astype(jnp.int32), stopped.astype(jnp.int32),
@@ -1208,7 +1208,8 @@ def get_kernel_wide(spec: WSpec, interpret: bool = False):
 
 
 def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
-                budget_cells: float = 0.0, budget_cycles: int = 0) -> dict:
+                budget_cells: float = 0.0, budget_cycles: int = 0,
+                max_s: int = 0, max_iter: int = 0) -> dict:
     """Resumable host loop: dispatch the alignment in bounded score
     chunks so no single device call outlives the worker watchdog (see
     the RS_* protocol notes above).  Per-call budgets are split across
@@ -1228,6 +1229,11 @@ def run_chunked(spec: WSpec, scal, twt, twq, interpret: bool = False,
     fn = _get_call(spec, interpret)
     DH = _ring_dh(spec)
     full = _pad_scal(spec, scal)
+    if max_s or max_iter:
+        # runtime early-stop bounds (not WSpec fields — compile sharing)
+        full[:, RS_MS] = max_s
+        full[:, RS_MILO] = max_iter & 0x3FFFFFFF
+        full[:, RS_MIHI] = max_iter >> 30
     state = _zero_state(spec)
     live = np.ones(spec.B, bool)
     final = np.zeros((spec.B, out_width(spec)), np.int32)

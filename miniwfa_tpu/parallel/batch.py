@@ -136,7 +136,8 @@ def _sharded_w_cap(opt: Options, mode: int, ts_list, qs_list) -> int:
 
 
 def _local_driver_fallback(opt: Options, mesh, ts_list, qs_list,
-                           idx, results) -> None:
+                           idx, results, *, w0: int = 512,
+                           s0: int = 512) -> None:
     """Run lanes through the full local driver (models.exact.align_batch)
     split over this process's mesh devices — one thread per device,
     contiguous lane blocks matching NamedSharding's layout.
@@ -159,6 +160,7 @@ def _local_driver_fallback(opt: Options, mesh, ts_list, qs_list,
     out_s = np.full(n, -2, np.int64)
     out_ni = np.zeros(n, np.int64)
     local_res: dict = {}
+    local_err: list = []
 
     def run(k):
         dev, block = devs[k], blocks[k]
@@ -166,8 +168,23 @@ def _local_driver_fallback(opt: Options, mesh, ts_list, qs_list,
             return
         from ..models.exact import align_batch
         sub = [(ts_list[idx[j]], qs_list[idx[j]]) for j in block]
-        with jax.default_device(dev):
-            rs = align_batch(sub, opt)
+        try:
+            with jax.default_device(dev):
+                # forward the sharded ladder's escalated window/S_CAP:
+                # lanes reach this fallback precisely because they need
+                # large windows, so re-laddering from the 512 defaults
+                # would pay several wasted escalation dispatches
+                rs = align_batch(sub, opt, w0=w0, s0=s0)
+        except Exception as e:  # noqa: BLE001 — re-raised symmetrically
+            # a raising lane (e.g. the documented high-mem CIGAR
+            # band-limit RuntimeError) must NOT skip the allgather
+            # below: the other processes would enter the collective
+            # and hang forever.  Encode failure as sentinel -3, sync,
+            # then raise consistently on every process.
+            local_err.append(e)
+            for j in block:
+                out_s[j] = -3
+            return
         for j, r in zip(block, rs):
             local_res[int(idx[j])] = r
             out_s[j] = r.s
@@ -175,18 +192,26 @@ def _local_driver_fallback(opt: Options, mesh, ts_list, qs_list,
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=max(1, len(devs))) as pool:
-        # list() propagates the first exception (e.g. a documented
-        # band-limit error from the local driver)
         list(pool.map(run, range(len(devs))))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils as mh
         g_s = mh.process_allgather(out_s)     # [P, n]
         g_ni = mh.process_allgather(out_ni)
+        if (g_s == -3).any():
+            # symmetric failure on every process (the owning one adds
+            # its exception as the cause)
+            err = RuntimeError(
+                "local-driver fallback failed on "
+                f"{int((g_s == -3).any(axis=0).sum())} lane(s) "
+                "(see the owning process's traceback)")
+            raise err from (local_err[0] if local_err else None)
         for j in range(n):
             owners = np.nonzero(g_s[:, j] != -2)[0]
             assert owners.size, f"lane {idx[j]} run by no process"
             p = int(owners[0])
             out_s[j], out_ni[j] = g_s[p, j], g_ni[p, j]
+    elif local_err:
+        raise local_err[0]
     for j in range(n):
         i = int(idx[j])
         r = local_res.get(i)
@@ -216,8 +241,6 @@ def _run_sharded_kernel(opt: Options, mode: int, mesh, axis, ts_list,
         B=B, WR=W // 128, S_CAP=S_CAP,
         x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
         mode=kmode, cpw=cpw, seg_cap=seg_cap, use_seg=use_seg,
-        max_s=0 if is_p1 else opt.max_s,
-        max_iter=0 if is_p1 else opt.max_iter,
         step=opt.step if is_p1 else 0,
         n_snap=(S_CAP // opt.step + 2) if is_p1 else 0,
         nseg=wk.nseg_for(mx, cpw),
@@ -225,6 +248,12 @@ def _run_sharded_kernel(opt: Options, mode: int, mesh, axis, ts_list,
         cr=int(os.environ.get("MWF_KERNEL_CR", "64")))
     nsc = wk.SC_SEG + 2 * seg_cap
     scal = np.zeros((B, nsc), np.int32)
+    # runtime early-stop bounds (kept out of the compile cache key)
+    ms = 0 if is_p1 else opt.max_s
+    mi = 0 if is_p1 else opt.max_iter
+    scal[:, wk.SC_MS] = ms
+    scal[:, wk.SC_MILO] = mi & 0x3FFFFFFF
+    scal[:, wk.SC_MIHI] = mi >> 30
     for row, (t, q) in enumerate(zip(pad_t, pad_q)):
         scal[row, wk.SC_TL] = len(t)
         scal[row, wk.SC_QL] = len(q)
@@ -372,7 +401,7 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
                     # pass 2, walker) runs on the local driver per
                     # device — sharded capability == align_batch's
                     _local_driver_fallback(opt, mesh, ts_list, qs_list,
-                                           retry, results)
+                                           retry, results, w0=W, s0=S_CAP)
                     for i in retry:
                         segs[i] = []   # resolved; nothing to sync/pass-2
                     retry = []
@@ -485,7 +514,7 @@ def align_batch_sharded(pairs: Sequence[Tuple[object, object]], opt: Options,
                 # serves these lanes (wide engine for score; for
                 # high-mem CIGAR it raises the documented -p error)
                 _local_driver_fallback(opt, mesh, ts_list, qs_list,
-                                       retry, results)
+                                       retry, results, w0=W, s0=S_CAP)
                 retry = []
             else:
                 W, S_CAP = W2, S2

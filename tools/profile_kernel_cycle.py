@@ -45,9 +45,10 @@ def one(variant):
     ts, qs = t.encode(), q.encode()
     spec = wk.KSpec(B=1, WR=WR, S_CAP=MAXS + 128, x=4, o1=4, e1=2,
                     o2=15, e2=1, mode=wk.MODE_SCORE, cpw=16,
-                    max_s=MAXS, cr=CR,
+                    cr=CR,
                     nseg=wk.nseg_for(max(len(ts), len(qs)), 16))
     scal = np.zeros((1, wk.SC_SEG + 2), np.int32)
+    scal[0, wk.SC_MS] = MAXS
     scal[0, wk.SC_TL] = len(ts)
     scal[0, wk.SC_QL] = len(qs)
     scal[0, wk.SC_ANC] = (len(qs) - len(ts)) // 2 - spec.W // 2

@@ -35,10 +35,12 @@ def run(WR, S_CAP, max_s, n, div, seed=1, B=1, cr=128):
     ts, qs = pair_div(n, div, seed)
     cpw = 16 if pack.can_pack2([ts, qs]) else 4
     spec = ww.WSpec(B=B, WR=WR, S_CAP=S_CAP, mode=wk.MODE_SCORE,
-                    cpw=cpw, max_s=max_s, x=4, o1=4, e1=2, o2=15, e2=1,
+                    cpw=cpw, x=4, o1=4, e1=2, o2=15, e2=1,
                     nseg=wk.nseg_for(max(len(ts), len(qs)), cpw), cr=cr)
-    scal = np.zeros((B, wk.SC_ANC + 1), np.int32)
+    scal = np.zeros((B, ww.scal_width(spec)), np.int32)
     scal[:, :3] = [len(ts), len(qs), (len(qs) - len(ts)) // 2 - spec.W // 2]
+    scal[:, ww.RS_LIM] = spec.S_CAP
+    scal[:, ww.RS_MS] = max_s
     fn = ww.get_kernel_wide(spec)
     t0 = time.perf_counter()
     out = {k: np.asarray(v) for k, v in
