@@ -136,7 +136,7 @@ def _kernel_eligible(opt: Options, mode: int, bk: _Buckets,
     eng = os.environ.get("MWF_ENGINE", "auto")
     if eng in ("lax", "wide", "wide-interpret"):
         return False
-    if eng not in ("kernel", "kernel-interpret") and \
+    if eng not in ("kernel", "kernel-interpret", "multi-interpret") and \
             jax.default_backend() != "tpu":
         return False
     if mode not in (MODE_SCORE, MODE_TB, MODE_PASS1):
@@ -335,7 +335,46 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
                 [d for _, d in sg]
     twt = wk.pack_table(pad_t, cpw, spec.nseg)
     twq = wk.pack_table(pad_q, cpw, spec.nseg)
-    interp = os.environ.get("MWF_ENGINE") == "kernel-interpret"
+
+    # --- multi-lane co-residency (VERDICT r4 ask #1): pack G lanes'
+    # whole DP states into one grid step so a cycle's serial stage
+    # latency advances G alignments at once.  Output contract matches
+    # the single-lane kernel exactly (same scal layout, same packed tb
+    # buffer), so everything downstream is unchanged.
+    eng = os.environ.get("MWF_ENGINE", "auto")
+    minterp = eng == "multi-interpret"
+    if not is_p1 and n > 1 and \
+            (minterp or (eng == "multi"
+                         and jax.default_backend() == "tpu")):
+        from ..ops import wavefront_multi as wm
+
+        def mk(g):
+            return wm.MSpec(
+                B=B, G=g, WR=spec.WR, S_CAP=spec.S_CAP, x=opt.x,
+                o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2, mode=kmode,
+                cpw=cpw, seg_cap=seg_cap, use_seg=use_seg,
+                nseg=spec.nseg, cr=spec.cr)
+
+        G = min(wm.pick_g(kmode, spec.WR, B, mk), B)
+        if G > 1 and B % G == 0:
+            mspec = mk(G)
+            segpad = -(-seg_cap // 128) * 128
+            segp = np.zeros((B, 2, segpad), np.int32)
+            segp[:, 0, :] = -9
+            if use_seg:
+                for i in range(n):
+                    if segs[i]:
+                        sg = segs[i]
+                        segp[i, 0, :len(sg)] = [s for s, _ in sg]
+                        segp[i, 1, :len(sg)] = [d for _, d in sg]
+            fn = wm.get_multi_kernel(mspec, interpret=minterp)
+            out = dict(fn(scal, twt, twq, segp))
+            out["kernel_cpw"] = cpw
+            out["anc"] = scal[:, wk.SC_ANC]
+            return out, spec
+
+    interp = os.environ.get("MWF_ENGINE") in ("kernel-interpret",
+                                              "multi-interpret")
     fn = wk.get_kernel(spec, interpret=interp)
     out = dict(fn(scal, twt, twq))
     out["kernel_cpw"] = cpw   # marker: kernel result (constant tb anchor)
