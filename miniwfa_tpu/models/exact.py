@@ -358,17 +358,8 @@ def _run_device_kernel(opt: Options, mode: int, bk: _Buckets,
         G = min(wm.pick_g(kmode, spec.WR, B, mk), B)
         if G > 1 and B % G == 0:
             mspec = mk(G)
-            segpad = -(-seg_cap // 128) * 128
-            segp = np.zeros((B, 2, segpad), np.int32)
-            segp[:, 0, :] = -9
-            if use_seg:
-                for i in range(n):
-                    if segs[i]:
-                        sg = segs[i]
-                        segp[i, 0, :len(sg)] = [s for s, _ in sg]
-                        segp[i, 1, :len(sg)] = [d for _, d in sg]
             fn = wm.get_multi_kernel(mspec, interpret=minterp)
-            out = dict(fn(scal, twt, twq, segp))
+            out = dict(fn(scal, twt, twq))
             out["kernel_cpw"] = cpw
             out["anc"] = scal[:, wk.SC_ANC]
             return out, spec

@@ -11,30 +11,44 @@ every VMEM plane gains a leading G dimension ([G, WR+8, 128] windows,
 [depth, G, WR+8, 128] rings) — so ONE pass through the cycle's serial
 stages advances G alignments: the dense phases widen (VPU throughput is
 ~1% utilized, ROOFLINE.md §1 — free), the probe gathers run on
-[G*CR, 128] flattened blocks, and the straggler while-rounds are SHARED
+flattened [G*R, 128] blocks, and the straggler while-rounds are SHARED
 (the round count becomes the max over lanes instead of the sum).
 
 Semantics are identical to the single-lane kernel (reference
 mwf_wfa_core, miniwfa.c:380-435, every '>=' tie-break of wf_next_tb,
 miniwfa.c:287-307): per-lane band registers, termination, n_iter,
-shrink, escalation flags all vectorize to [G,1,1]; lanes terminate
-independently (a finished lane freezes while the others run on), so the
-driver buckets similar pairs per group.
+shrink, escalation flags are G-tuples of TRACED SCALARS in the
+while-loop carry — exactly the single-lane design, replicated per lane.
+Lanes terminate independently (a finished lane freezes: its effective
+bands go empty so every vector mask excludes it, while the shared cycle
+loop runs on for the others); the driver buckets similar pairs per
+group.
 
 Modes: SCORE and TB (with pass-2 checkpoint collapse).  PASS1 stays on
 the single-lane kernel — its sf shadow rings double the VMEM and
 co-residency cannot fit.
 
-Mosaic notes (probed on v5e, tools/microbench_multi_probe*.py):
-  * gathers are 2D-only: [G,R,128] blocks flatten to [G*R,128] values
-    (free relayout) for take_along_axis, then reshape back;
-  * axis=(1,2) reductions SIGABRT the compiler: every per-lane reduction
-    is two-step (axis=2 then axis=1, keepdims);
-  * [G,1,1] vectors cannot be built from SMEM scalars via full/concat:
-    scalars go through an [8,128] VMEM registry plane
-    (write row g, read [0:G,0:1].reshape(G,1,1));
+Mosaic lowering rules this file is built around (probed on v5e,
+tools/microbench_multi_probe*.py; violations die with
+"Not implemented: Lane broadcast" or compiler aborts):
+  * PER-LANE CONTROL FLOW MUST BE SCALARS.  [G,1,1]-shaped selects with
+    scalar branches, bool [G,1,1].astype, and scalar-bool & vector-mask
+    broadcasts all fail to lower.  Band registers, done flags, n_iter,
+    checkpoint ids etc. are G-tuples of traced scalars; per-lane gating
+    reaches the vector world only by EMPTYING that lane's effective
+    band (lo=BIG, hi=-BIG) so plain range masks exclude it.
+  * [G,1,1] vectors are built from scalars via an [8,128] VMEM registry
+    plane (write row g, read [0:G,0:1].reshape(G,1,1)) — never
+    jnp.full/concat of traced scalars.
+  * int arithmetic/compare of [G,1,1] against [G,R,128] broadcasts
+    fine; materialized-vector selects (b2i) lower fine; scalar
+    extraction v[g,0,0] of int vectors works (bools don't).
+  * gathers are 2D-only: [G,R,128] blocks flatten to [G*R,128] for
+    take_along_axis, then reshape back (free relayout);
+  * axis=(1,2) reductions SIGABRT the compiler: every per-lane
+    reduction is two-step (axis=2 then axis=1, keepdims);
   * 4D ring scratch with a dynamic leading index and a pl.ds middle-dim
-    slice reads/writes cleanly; [G,1,1] while-loop carries work.
+    slice reads/writes cleanly.
 """
 
 from __future__ import annotations
@@ -117,15 +131,15 @@ def vmem_bytes(spec: MSpec) -> int:
     n += 2 * G * NTAB                                # resident segments
     n += NTAB                                        # wtmp
     n += G * CR                                      # sun
-    n += 2 * DH * 8 + 6 * 8                          # registries
+    n += 2 * DH * 8 + 8                              # bnd planes, registry
     return n * pl_b
 
 
 def build_kernel(spec: MSpec):
     """Build the pallas_call wrapper: fn(scal, twt, twq) ->
     (out_scal [B, O_N], tb [B, S_CAP, WR//4, 128] int32 if TB mode) —
-    the same output contract as the single-lane kernel, so the driver,
-    escalation ladder and traceback walker are untouched."""
+    the same input/output contract as the single-lane kernel, so the
+    driver, escalation ladder and traceback walker are untouched."""
     G, WR, W = spec.G, spec.WR, spec.W
     WRP = WR + 8
     CR = spec.CR
@@ -147,7 +161,7 @@ def build_kernel(spec: MSpec):
     NS = spec.NS
     nsc = SC_SEG + 2 * spec.seg_cap
     NSEGB = (spec.nseg - 1) * SEGSTRIDE + NTAB
-    SEGPAD = -(-spec.seg_cap // 128) * 128
+    NCH = WR // CR   # chunks in the window
 
     _CUT = set(filter(None, _os.environ.get("MWF_MDBG_CUT", "").split(",")))
 
@@ -165,9 +179,6 @@ def build_kernel(spec: MSpec):
         return jnp.max(jnp.max(a, axis=2, keepdims=True), axis=1,
                        keepdims=True)
 
-    def rany(a):  # bool [G,R,128] -> bool [G,1,1]
-        return rmax(jnp.where(a, 1, 0)) != 0
-
     def b2i(b):
         # bool->int32 on [.,.,1]-shaped masks: astype AND a where with
         # two SCALAR branches both lower as an unimplemented "Lane
@@ -175,6 +186,9 @@ def build_kernel(spec: MSpec):
         # lowers fine
         return jnp.where(b, jnp.ones(b.shape, jnp.int32),
                          jnp.zeros(b.shape, jnp.int32))
+
+    def rany_i(a):  # bool [G,R,128] -> int32 [G,1,1] (1 if any)
+        return rmax(b2i(a))
 
     def ctz_chars(x):
         u = x.astype(jnp.uint32)
@@ -223,7 +237,6 @@ def build_kernel(spec: MSpec):
 
     def kernel(scal_ref,            # SMEM [B, nsc]
                twt_ref, twq_ref,    # HBM [B, nseg, 128, 128]
-               seg_ref,             # VMEM [G, 2, SEGPAD] checkpoint rows
                out_ref,             # SMEM [B, O_N]
                *refs):
         if is_tb:
@@ -239,15 +252,17 @@ def build_kernel(spec: MSpec):
         gi = pl.program_id(0)
         b0 = gi * G
 
-        # ---- per-lane scalar loads (python lists of traced scalars for
-        # per-g code; [G,1,1] vectors via the laneq registry plane)
+        # ---- per-lane scalar loads
         tl_s = [scal_ref[b0 + g, SC_TL] for g in range(G)]
         ql_s = [scal_ref[b0 + g, SC_QL] for g in range(G)]
         anc_s = [scal_ref[b0 + g, SC_ANC] for g in range(G)]
         nseg_s = [scal_ref[b0 + g, SC_NSEG] for g in range(G)]
+        ms_s = [scal_ref[b0 + g, SC_MS] for g in range(G)]
+        milo_s = [scal_ref[b0 + g, SC_MILO] for g in range(G)]
+        mihi_s = [scal_ref[b0 + g, SC_MIHI] for g in range(G)]
 
         def lane_vec(vals):
-            """[G,1,1] vector from G traced scalars, via the registry
+            """[G,1,1] int vector from G traced scalars, via the registry
             plane (direct full/concat of tiny shapes aborts Mosaic)."""
             for g in range(G):
                 laneq[g, :] = jnp.zeros((128,), jnp.int32) + vals[g]
@@ -256,10 +271,6 @@ def build_kernel(spec: MSpec):
         tlv = lane_vec(tl_s)
         qlv = lane_vec(ql_s)
         ancv = lane_vec(anc_s)
-        msv = lane_vec([scal_ref[b0 + g, SC_MS] for g in range(G)])
-        milov = lane_vec([scal_ref[b0 + g, SC_MILO] for g in range(G)])
-        mihiv = lane_vec([scal_ref[b0 + g, SC_MIHI] for g in range(G)])
-        nsegv = lane_vec(nseg_s)
         d_endv = qlv - tlv
         DDP = ancv + iota3(WRP, 1) * 128 + iota3(WRP, 2)
 
@@ -279,8 +290,9 @@ def build_kernel(spec: MSpec):
         baQ[:] = jnp.full((G, WR, 128), BIG, jnp.int32)
         pbits[:] = jnp.zeros((G, WR, 128), jnp.int32)
         for j in range(DH):
-            bndlo_v[j] = jnp.ones((8, 128), jnp.int32)     # empty band
-            bndhi_v[j] = jnp.zeros((8, 128), jnp.int32)
+            for g in range(G):
+                bndlo_v[j, g] = jnp.ones((128,), jnp.int32)   # empty band
+                bndhi_v[j, g] = jnp.zeros((128,), jnp.int32)
         dm[0] = 0
         dm[1] = 0
         for g in range(G):
@@ -319,7 +331,7 @@ def build_kernel(spec: MSpec):
                 # one elected row (cross-side livelock rule).
                 # (scalar predicates extract as int32: Mosaic cannot
                 # squeeze bool elements to scalars)
-                hasl = rmax(b2i(has))                          # [G,1,1]
+                hasl = rany_i(has)                             # [G,1,1]
                 gT = rmin(jnp.where(has, aT, NSEGB))
                 sel_rows = has & (aT == gT)
                 gQ = rmin(jnp.where(sel_rows, aQ, NSEGB))
@@ -358,7 +370,7 @@ def build_kernel(spec: MSpec):
                 jnp.where(mf, aQ * 128, baQc[:, :, 0:1]), (G, CR, 128))
             aTloc = jnp.clip(aT - cstv * SEGSTRIDE, 0, NTAB - 1)
             aQloc = jnp.clip(aQ - csqv * SEGSTRIDE, 0, NTAB - 1)
-            anyg = rmax(b2i(has))
+            anyg = rany_i(has)
 
             def lanes(a):   # [CR,1] block ids -> [NTAB,1] padded
                 if CR == NTAB:
@@ -447,14 +459,20 @@ def build_kernel(spec: MSpec):
 
         SR = 8   # straggler sub-window rows
 
+        # length-derived straggler round cap (scalar max over lanes)
+        maxtl = tl_s[0]
+        for g in range(1, G):
+            maxtl = jnp.maximum(maxtl, tl_s[g])
+        maxr = jnp.minimum(jnp.int32(MAXR_SAFETY), maxtl // 4 + 8192)
+
         def extend(ro, DDc, k, elig):
             """Chunk LCP extension over [G,CR,128] (miniwfa.c:212-226
             semantics); two phases like the single-lane kernel, with the
             straggler while-rounds SHARED across lanes (each round probes
             one SR-row sub-window PER LANE; the round count is the max
-            over lanes, not the sum)."""
+            over lanes, not the sum).  Returns (k, stuck [G,1,1] int)."""
             if _os.environ.get("MWF_KDBG_NOEXT"):
-                return k, jnp.zeros((G, 1, 1), bool)
+                return k, jnp.zeros((G, 1, 1), jnp.int32)
             unroll = int(_os.environ.get("MWF_EXT_UNROLL", "3"))
 
             wins = (wta[:, pl.ds(ro, CR)], wtb[:, pl.ds(ro, CR)],
@@ -485,10 +503,7 @@ def build_kernel(spec: MSpec):
             any_un = chunk_refill()
 
             if _os.environ.get("MWF_KDBG_EXT1"):
-                return tH[:, pl.ds(ro, CR)], jnp.zeros((G, 1, 1), bool)
-
-            maxr = jnp.minimum(jnp.int32(MAXR_SAFETY),
-                               jnp.max(tlv) // 4 + 8192)
+                return tH[:, pl.ds(ro, CR)], jnp.zeros((G, 1, 1), jnp.int32)
 
             def cond(c):
                 return (c[0] != 0) & (c[1] < maxr)
@@ -535,52 +550,59 @@ def build_kernel(spec: MSpec):
                     tH[g, pl.ds(ra, SR), :] = k8[g]
                     sun[g, pl.ds(rg, SR), :] = un8i[g]
                 alive = chunk_refill()
-                return alive.astype(jnp.int32), rnd + 1
+                return jnp.where(alive, 1, 0), rnd + 1
 
             any_i, rnd = lax.while_loop(
-                cond, body, (any_un.astype(jnp.int32), jnp.int32(0)))
-            # stuck per lane: still-unresolved rows when the cap tripped
-            stuck = (rnd >= maxr) & rany(sun[:] != 0)
+                cond, body, (jnp.where(any_un, 1, 0), jnp.int32(0)))
+            # stuck per lane: still-unresolved rows when the cap tripped.
+            # traced-scalar x [G,1,1]-int multiply lowers fine (the
+            # scalar-bool & mask broadcast does NOT)
+            rnd_ge = jnp.where(rnd >= maxr, 1, 0)
+            stuck = rany_i(sun[:] != 0) * rnd_ge
             return tH[:, pl.ds(ro, CR)], stuck
 
         def good_diag(v, DDc):
             return (v >= -1) & (v < tlv) & (DDc + v >= -1) & (DDc + v < qlv)
 
-        def chunk_range(d0v, d1v, emptyv):
+        def chunk_range_s(d0s, d1s, empty_s):
             """Union fori bounds over lanes of the CR-chunks covering
-            per-lane diagonal ranges [d0v, d1v] ([G,1,1] vectors).
-            Scalar select branches near [G,1,1] masks fail to lower
-            (Lane broadcast): every branch is a materialized vector."""
-            zv = jnp.zeros((G, 1, 1), jnp.int32)
-            c0 = jnp.clip((d0v - ancv) >> 7, 0, WR - 1) // CR
-            c1 = jnp.clip((d1v - ancv) >> 7, 0, WR - 1) // CR + 1
-            c1 = jnp.where(emptyv, c0, c1)
-            return (jnp.min(jnp.where(emptyv, zv + WR // CR, c0)),
-                    jnp.max(c1))
-
-        def bnd_write(slot, lov, hiv):
-            # per-row scalar-broadcast writes: a [G,1]->[G,128] lane
-            # broadcast of while-carried values fails to lower
+            per-lane diagonal ranges [d0s[g], d1s[g]] — ALL SCALARS.
+            empty_s[g] is a traced scalar bool removing that lane."""
+            e0 = e1 = None
             for g in range(G):
-                bndlo_v[slot, g] = jnp.zeros((128,), jnp.int32) \
-                    + lov[g, 0, 0]
-                bndhi_v[slot, g] = jnp.zeros((128,), jnp.int32) \
-                    + hiv[g, 0, 0]
-
-        def bnd_read(slot):
-            return (bndlo_v[slot, 0:G, 0:1].reshape(G, 1, 1),
-                    bndhi_v[slot, 0:G, 0:1].reshape(G, 1, 1))
+                c0 = jnp.clip((d0s[g] - anc_s[g]) >> 7, 0, WR - 1) // CR
+                c1 = jnp.clip((d1s[g] - anc_s[g]) >> 7, 0, WR - 1) // CR + 1
+                c0 = jnp.where(empty_s[g], NCH, c0)
+                c1 = jnp.where(empty_s[g], 0, c1)
+                e0 = c0 if e0 is None else jnp.minimum(e0, c0)
+                e1 = c1 if e1 is None else jnp.maximum(e1, c1)
+            return e0, jnp.maximum(e1, e0)
 
         def cycle(carry):
-            (t, wf_lo, wf_hi, t_lo, t_hi, done_i, stopped_i, ovf_i,
+            (t, wf_lo, wf_hi, t_lo, t_hi, done, stopped, ovf,
              final_s, last_state, n_lo, n_hi, sid) = carry
-            done, stopped, ovf = done_i != 0, stopped_i != 0, ovf_i != 0
-            zgc = jnp.zeros((G, 1, 1), jnp.int32)
-            alive = ~(done | stopped | ovf)                     # [G,1,1]
-            bnd_write(t % DH, t_lo, t_hi)
+            wf_lo, wf_hi = list(wf_lo), list(wf_hi)
+            t_lo, t_hi = list(t_lo), list(t_hi)
+            done, stopped, ovf = list(done), list(stopped), list(ovf)
+            final_s, last_state = list(final_s), list(last_state)
+            n_lo, n_hi, sid = list(n_lo), list(n_hi), list(sid)
+            alive = [done[g] + stopped[g] + ovf[g] == 0 for g in range(G)]
+            # record score-t bands for masked ring reads in later cycles
+            slot_t = t % DH
+            for g in range(G):
+                bndlo_v[slot_t, g] = jnp.zeros((128,), jnp.int32) + t_lo[g]
+                bndhi_v[slot_t, g] = jnp.zeros((128,), jnp.int32) + t_hi[g]
+
+            # effective top band: empty for frozen lanes so every vector
+            # mask excludes them (per-lane gating without [G,1,1] selects)
+            tlox = [jnp.where(alive[g], t_lo[g], BIG) for g in range(G)]
+            thix = [jnp.where(alive[g], t_hi[g], -BIG) for g in range(G)]
+            t_lov = lane_vec(tlox)
+            t_hiv = lane_vec(thix)
 
             # --- 1. extension sweep (miniwfa.c:400-411) + termination
-            e0, e1_ = chunk_range(t_lo, t_hi, ~alive)
+            e0, e1_ = chunk_range_s(tlox, thix,
+                                    [~a for a in alive])
             zg = jnp.zeros((G, 1, 1), jnp.int32)
 
             def ext_chunk(ci, car):
@@ -588,7 +610,7 @@ def build_kernel(spec: MSpec):
                 ro = ci * CR
                 DDc = ancv + ro * 128 + iota3(CR, 1) * 128 + iota3(CR, 2)
                 k_old = tH[:, pl.ds(ro, CR)]
-                in_top = (DDc >= t_lo) & (DDc <= t_hi) & alive
+                in_top = (DDc >= t_lov) & (DDc <= t_hiv)
                 elig = in_top & (k_old >= -1) & (DDc + k_old >= -1) \
                     & (k_old < tlv) & (DDc + k_old < qlv)
                 k_new, stuck = extend(ro, DDc, k_old, elig)
@@ -596,89 +618,96 @@ def build_kernel(spec: MSpec):
                 if "xwrite" not in _CUT:
                     tH[:, pl.ds(ro, CR)] = k_new
                 if "xterm" in _CUT:
-                    term_c = zero_c = jnp.zeros((G, 1, 1), bool)
+                    term_c = zero_c = zg
                 else:
                     at_end = elig & (DDc == d_endv)
-                    term_c = rany(at_end & (k_new == tlv - 1))
+                    term_c = rany_i(at_end & (k_new == tlv - 1))
                     if "xzero" in _CUT:
-                        zero_c = jnp.zeros((G, 1, 1), bool)
+                        zero_c = zg
                     else:
-                        zero_c = rany(at_end & (k_new == k_old)
-                                      & (k_new == tlv - 1))
+                        zero_c = rany_i(at_end & (k_new == k_old)
+                                        & (k_new == tlv - 1))
                 if is_tb:
                     bits_a = jnp.maximum(bits_a, rmax(
                         jnp.where(DDc == d_endv,
                                   pbits[:, pl.ds(ro, CR)], 0)))
-                return (term_a | b2i(term_c),
-                        zero_a | b2i(zero_c),
-                        bits_a, stuck_a | b2i(stuck))
+                return (term_a | term_c, zero_a | zero_c,
+                        bits_a, stuck_a | stuck)
 
             if _os.environ.get("MWF_KDBG_NOEXTSWEEP"):
                 term_i, zero_i, bits_at, stuck_i = zg, zg, zg, zg
             else:
                 term_i, zero_i, bits_at, stuck_i = lax.fori_loop(
                     e0, e1_, ext_chunk, (zg, zg, zg, zg))
-            term = (term_i != 0) & alive
-            ovf = ovf | ((stuck_i != 0) & alive)  # never in correct op.
 
-            # --- 2. termination bookkeeping (miniwfa.c:405-408)
-            # NOTE: a scalar-bool & [G,1,1]-bool mask broadcast fails
-            # to lower ("Lane broadcast"); gate by scalar-int arithmetic
-            zero_ext = term & ((zero_i * jnp.minimum(t, 1)) != 0)
-            if is_tb:
-                last_state = jnp.where(zero_ext, bits_at & 7, last_state)
-            done = done | term
-            final_s = jnp.where(term, zgc + t, final_s)
+            # --- 2. termination bookkeeping (miniwfa.c:405-408) —
+            # per-lane SCALARS extracted from the sweep reductions
+            act = []
+            lo_s, hi_s, width_s = [], [], []
+            for g in range(G):
+                term_g = alive[g] & (term_i[g, 0, 0] != 0)
+                zero_g = term_g & (t > 0) & (zero_i[g, 0, 0] != 0)
+                if is_tb:
+                    last_state[g] = jnp.where(zero_g,
+                                              bits_at[g, 0, 0] & 7,
+                                              last_state[g])
+                ovf[g] = jnp.where(alive[g] & (stuck_i[g, 0, 0] != 0),
+                                   1, ovf[g])  # never in correct operation
+                done[g] = jnp.where(term_g, 1, done[g])
+                final_s[g] = jnp.where(term_g, t, final_s[g])
 
-            # --- 3. pass-2 checkpoint collapse (miniwfa.c:413-416)
-            if spec.use_seg:
-                cidx = jnp.clip(sid, 0, spec.seg_cap - 1)       # [G,1,1]
-                # checkpoint schedule rows come in as a VMEM input plane
-                # ([G, 2, SEGPAD]: row 0 = scores, row 1 = diagonals);
-                # read every lane's next checkpoint with a masked-max
-                # over the 3D row (a [G,1]->[G,SEGPAD] gather-index
-                # broadcast would be the unimplemented Lane broadcast)
-                segi = lax.broadcasted_iota(jnp.int32, (G, 1, SEGPAD), 2)
-                eq = segi == cidx
-                srow = seg_ref[:, 0:1, :]                       # [G,1,SEGPAD]
-                drow = seg_ref[:, 1:2, :]
-                m9 = jnp.full((G, 1, SEGPAD), -(BIG), jnp.int32)
-                cur_s = jnp.max(jnp.max(jnp.where(eq, srow, m9), axis=2,
-                                        keepdims=True), axis=1,
-                                keepdims=True)
-                cur_d = jnp.max(jnp.max(jnp.where(eq, drow, m9), axis=2,
-                                        keepdims=True), axis=1,
-                                keepdims=True)
-                hit = alive & ~term & (sid < nsegv) & (cur_s == t)
-                wf_lo = jnp.where(hit, cur_d, wf_lo)
-                wf_hi = jnp.where(hit, cur_d, wf_hi)
-                sid = jnp.where(hit, sid + 1, sid)
+                # --- 3. pass-2 checkpoint collapse (miniwfa.c:413-416)
+                if spec.use_seg:
+                    cid = jnp.clip(sid[g], 0, spec.seg_cap - 1)
+                    cur_s = scal_ref[b0 + g, SC_SEG + cid]
+                    cur_d = scal_ref[b0 + g, SC_SEG + spec.seg_cap + cid]
+                    hit = alive[g] & ~term_g & (sid[g] < nseg_s[g]) \
+                        & (cur_s == t)
+                    wf_lo[g] = jnp.where(hit, cur_d, wf_lo[g])
+                    wf_hi[g] = jnp.where(hit, cur_d, wf_hi[g])
+                    sid[g] = jnp.where(hit, sid[g] + 1, sid[g])
 
-            # --- 4. band growth + window-overflow check (miniwfa.c:417)
-            lo = jnp.maximum(wf_lo - 1, -tlv)
-            hi = jnp.minimum(wf_hi + 1, qlv)
-            width = hi - lo + 1
-            if "p4" in _CUT:
-                ovf_now = jnp.zeros((G, 1, 1), bool)
-            else:
-                ovf_now = alive & ~term & ((lo < ancv)
-                                           | (hi > ancv + W - 1))
-            ovf = ovf | ovf_now
-            act = alive & ~term & ~ovf_now                      # [G,1,1]
+                # --- 4. band growth + window-overflow (miniwfa.c:417)
+                lo_g = jnp.maximum(wf_lo[g] - 1, -tl_s[g])
+                hi_g = jnp.minimum(wf_hi[g] + 1, ql_s[g])
+                if "p4" in _CUT:
+                    ovf_now = term_g & ~term_g
+                else:
+                    ovf_now = alive[g] & ~term_g \
+                        & ((lo_g < anc_s[g]) | (hi_g > anc_s[g] + W - 1))
+                ovf[g] = jnp.where(ovf_now, 1, ovf[g])
+                act.append(alive[g] & ~term_g & ~ovf_now)
+                lo_s.append(lo_g)
+                hi_s.append(hi_g)
+                width_s.append(hi_g - lo_g + 1)
+
+            # act-effective bands for the transition masks
+            loa = [jnp.where(act[g], lo_s[g], BIG) for g in range(G)]
+            hia = [jnp.where(act[g], hi_s[g], -BIG) for g in range(G)]
+            lov = lane_vec(loa)
+            hiv = lane_vec(hia)
+            # act-effective TOP band for retire (terminated lanes don't
+            # retire: single-lane sweeps nothing once act is false)
+            tloa = [jnp.where(act[g], t_lo[g], BIG) for g in range(G)]
+            thia = [jnp.where(act[g], t_hi[g], -BIG) for g in range(G)]
+            t_loav = lane_vec(tloa)
+            t_hiav = lane_vec(thia)
 
             # --- 5+6. retire + transition sweep over the grown band
-            u_lo = jnp.minimum(t_lo, lo)
-            u_hi = jnp.maximum(t_hi, hi)
-            s0c, s1c = chunk_range(u_lo, u_hi, ~act)
+            u_lo = [jnp.minimum(t_lo[g], lo_s[g]) for g in range(G)]
+            u_hi = [jnp.maximum(t_hi[g], hi_s[g]) for g in range(G)]
+            s0c, s1c = chunk_range_s(u_lo, u_hi, [~a for a in act])
 
             def lb(ring, depth, top_ref, age, ro):
                 s_src = t + 1 - age
                 if age == 1:
                     blk = top_ref[:, pl.ds(ro, CRB)]
-                    blo, bhi = t_lo, t_hi
+                    blo, bhi = t_loav, t_hiav
                 else:
                     blk = ring[jnp.mod(s_src, depth), :, pl.ds(ro, CRB)]
-                    blo, bhi = bnd_read(jnp.mod(s_src, DH))
+                    sl = jnp.mod(s_src, DH)
+                    blo = bndlo_v[sl, 0:G, 0:1].reshape(G, 1, 1)
+                    bhi = bndhi_v[sl, 0:G, 0:1].reshape(G, 1, 1)
                 DDb = ancv + ro * 128 + iota3(CRB, 1) * 128 + iota3(CRB, 2)
                 return jnp.where((DDb >= blo) & (DDb <= bhi), blk, NEG)
 
@@ -686,7 +715,7 @@ def build_kernel(spec: MSpec):
                 (loq, hiq, cho1, cho2, ce1x, ce2x) = car
                 ro = ci * CR
                 DDc = ancv + ro * 128 + iota3(CR, 1) * 128 + iota3(CR, 2)
-                in_top = (DDc >= t_lo) & (DDc <= t_hi) & alive
+                in_top = (DDc >= t_loav) & (DDc <= t_hiav)
                 # retire tops into rings at slot t mod depth
                 tHc = tH[:, pl.ds(ro, CR)]
                 tE1c = tE1[:, pl.ds(ro, CR)]
@@ -734,7 +763,7 @@ def build_kernel(spec: MSpec):
                     E2m=shm(e2b[:, 0:CR], ce2x),
                     F2p=shp(f2b[:, 0:CR], f2b[:, CR:CR + 1]))
                 Hn, E1n, F1n, E2n, F2n, bits = transition_values(src)
-                in_new = (DDc >= lo) & (DDc <= hi) & act
+                in_new = (DDc >= lov) & (DDc <= hiv)
                 wH = jnp.where(in_new, Hn, NEG)
                 wE1 = jnp.where(in_new, E1n, NEG)
                 wF1 = jnp.where(in_new, F1n, NEG)
@@ -774,8 +803,8 @@ def build_kernel(spec: MSpec):
                 viable = jnp.zeros((G, CR, 128), bool)
                 for v in (wH, wE1, wF1, wE2, wF2):
                     viable |= v >= -1
-                loq = loq | b2i(rany(viable & (DDc == lo)))
-                hiq = hiq | b2i(rany(viable & (DDc == hi)))
+                loq = loq | rany_i(viable & (DDc == lov))
+                hiq = hiq | rany_i(viable & (DDc == hiv))
                 return (loq, hiq,
                         ho1b[:, CR - 1:CR], ho2b[:, CR - 1:CR],
                         e1b[:, CR - 1:CR], e2b[:, CR - 1:CR])
@@ -786,71 +815,90 @@ def build_kernel(spec: MSpec):
                 car = car0
             else:
                 car = lax.fori_loop(s0c, s1c, sweep, car0)
-            lo_ok, hi_ok = car[0] != 0, car[1] != 0
+            loq_i, hiq_i = car[0], car[1]
 
-            wf_lo = jnp.where(act & lo_ok, lo, wf_lo)
-            wf_hi = jnp.where(act & hi_ok, hi, wf_hi)
-            t_lo = jnp.where(act, lo, t_lo)
-            t_hi = jnp.where(act, hi, t_hi)
+            sh_due = []
+            for g in range(G):
+                lo_ok = loq_i[g, 0, 0] != 0
+                hi_ok = hiq_i[g, 0, 0] != 0
+                wf_lo[g] = jnp.where(act[g] & lo_ok, lo_s[g], wf_lo[g])
+                wf_hi[g] = jnp.where(act[g] & hi_ok, hi_s[g], wf_hi[g])
+                t_lo[g] = jnp.where(act[g], lo_s[g], t_lo[g])
+                t_hi[g] = jnp.where(act[g], hi_s[g], t_hi[g])
+                # --- 7. shrink due every 256 cycles (miniwfa.c:420)
+                sh_due.append(act[g] & (((t + 1) & 0xFF) == 0))
 
-            # --- 7. periodic shrink every 256 cycles (miniwfa.c:420);
-            # scalar gate via int arithmetic (scalar-bool & [G,1,1] mask
-            # fails to lower)
-            sh_g = 1 - jnp.minimum((t + 1) & 0xFF, 1)
-            sh_due = act & ((b2i(act) * sh_g) != 0)
-            g0c, g1c = chunk_range(wf_lo, wf_hi, ~sh_due)
+            if "shrink" not in _CUT:
+                g0c, g1c = chunk_range_s(wf_lo, wf_hi,
+                                         [~d for d in sh_due])
+                # shrink-effective hull windows (per-lane scalar gating)
+                wlov = lane_vec([jnp.where(sh_due[g], wf_lo[g], BIG)
+                                 for g in range(G)])
+                whiv = lane_vec([jnp.where(sh_due[g], wf_hi[g], -BIG)
+                                 for g in range(G)])
+                t_lonv = lane_vec(t_lo)
+                t_hinv = lane_vec(t_hi)
 
-            def shr_chunk(ci, car):
-                has_a, mn_a, mx_a = car
-                ro = ci * CR
-                DDc = ancv + ro * 128 + iota3(CR, 1) * 128 + iota3(CR, 2)
-                viable = jnp.zeros((G, CR, 128), bool)
-                for r in (tH, tE1, tF1, tE2, tF2):
-                    viable |= r[:, pl.ds(ro, CR)] >= -1
-                good = viable & (DDc >= t_lo) & (DDc <= t_hi)
-                good |= (vb[:, pl.ds(ro, CR)] & ((1 << (NS - 1)) - 1)) != 0
-                good &= (DDc >= wf_lo) & (DDc <= wf_hi)
-                has_a = has_a | b2i(rany(good))
-                mn_a = jnp.minimum(mn_a, rmin(jnp.where(good, DDc, BIG)))
-                mx_a = jnp.maximum(mx_a, rmax(jnp.where(good, DDc, -BIG)))
-                return has_a, mn_a, mx_a
+                def shr_chunk(ci, car):
+                    has_a, mn_a, mx_a = car
+                    ro = ci * CR
+                    DDc = ancv + ro * 128 + iota3(CR, 1) * 128 \
+                        + iota3(CR, 2)
+                    viable = jnp.zeros((G, CR, 128), bool)
+                    for r in (tH, tE1, tF1, tE2, tF2):
+                        viable |= r[:, pl.ds(ro, CR)] >= -1
+                    good = viable & (DDc >= t_lonv) & (DDc <= t_hinv)
+                    good |= (vb[:, pl.ds(ro, CR)]
+                             & ((1 << (NS - 1)) - 1)) != 0
+                    good &= (DDc >= wlov) & (DDc <= whiv)
+                    has_a = has_a | rany_i(good)
+                    mn_a = jnp.minimum(mn_a,
+                                       rmin(jnp.where(good, DDc, BIG)))
+                    mx_a = jnp.maximum(mx_a,
+                                       rmax(jnp.where(good, DDc, -BIG)))
+                    return has_a, mn_a, mx_a
 
-            if "shrink" in _CUT:  # compile-bisect knob (parity-breaking)
-                has_i, new_lo, new_hi = zg, zg + BIG, zg - BIG
-            else:
                 has_i, new_lo, new_hi = lax.fori_loop(
                     g0c, g1c, shr_chunk,
                     (zg, zg + BIG, zg - BIG))
-            shrink = sh_due & (has_i != 0)
-            wf_lo = jnp.where(shrink, new_lo, wf_lo)
-            wf_hi = jnp.where(shrink, new_hi, wf_hi)
+                for g in range(G):
+                    shrink_g = sh_due[g] & (has_i[g, 0, 0] != 0)
+                    wf_lo[g] = jnp.where(shrink_g, new_lo[g, 0, 0],
+                                         wf_lo[g])
+                    wf_hi[g] = jnp.where(shrink_g, new_hi[g, 0, 0],
+                                         wf_hi[g])
 
             # --- 8. accounting + early stop (miniwfa.c:421-425)
-            n_lo = n_lo + jnp.where(act, width, zgc)
-            n_hi = n_hi + (n_lo >> 30)
-            n_lo = n_lo & 0x3FFFFFFF
-            if "p8" in _CUT:
-                pass
-            else:
-                stop = ((milov | mihiv) > 0) \
-                    & ((n_hi > mihiv) | ((n_hi == mihiv) & (n_lo > milov)))
-                stop |= (msv > 0) & (t + 1 > msv)
-                stopped = stopped | (act & stop)
-            return (t + 1, wf_lo, wf_hi, t_lo, t_hi,
-                    b2i(done), b2i(stopped), b2i(ovf),
-                    final_s, last_state, n_lo, n_hi, sid)
+            for g in range(G):
+                n_lo[g] = n_lo[g] + jnp.where(act[g], width_s[g], 0)
+                n_hi[g] = n_hi[g] + (n_lo[g] >> 30)
+                n_lo[g] = n_lo[g] & 0x3FFFFFFF
+                if "p8" not in _CUT:
+                    stop = ((milo_s[g] | mihi_s[g]) > 0) \
+                        & ((n_hi[g] > mihi_s[g])
+                           | ((n_hi[g] == mihi_s[g])
+                              & (n_lo[g] > milo_s[g])))
+                    stop |= (ms_s[g] > 0) & (t + 1 > ms_s[g])
+                    stopped[g] = jnp.where(act[g] & stop, 1, stopped[g])
+            return (t + 1, tuple(wf_lo), tuple(wf_hi),
+                    tuple(t_lo), tuple(t_hi),
+                    tuple(done), tuple(stopped), tuple(ovf),
+                    tuple(final_s), tuple(last_state),
+                    tuple(n_lo), tuple(n_hi), tuple(sid))
 
         def cond(carry):
             t, done, stopped, ovf = carry[0], carry[5], carry[6], carry[7]
-            return (jnp.min(done + stopped + ovf) == 0) \
-                & (t < spec.S_CAP - 1)
+            a = (done[0] + stopped[0] + ovf[0]) == 0
+            for g in range(1, G):
+                a = a | ((done[g] + stopped[g] + ovf[g]) == 0)
+            return a & (t < spec.S_CAP - 1)
 
-        zg = jnp.zeros((G, 1, 1), jnp.int32)
-        carry = (jnp.int32(0), zg, zg, zg, zg,
-                 zg, zg, zg,
-                 zg - 1, zg, zg, zg, zg)
+        z = jnp.int32(0)
+        zt = (z,) * G
+        carry = (z, zt, zt, zt, zt, zt, zt, zt,
+                 (jnp.int32(-1),) * G, zt, zt, zt, zt)
         carry = lax.while_loop(cond, cycle, carry)
-        (t, _, _, _, _, done_i, stopped_i, ovf_i,
+        (t, _, _, _, _, done, stopped, ovf,
          final_s, last_state, n_lo, n_hi, _) = carry
         if is_tb:
             for i in range(NSLOT):
@@ -861,19 +909,16 @@ def build_kernel(spec: MSpec):
                         tb_ref.at[pl.ds(b0, G), 0, pl.ds(0, CR4)],
                         sem_tb.at[i]).wait()
             dm[1] = 0
-        done, stopped, ovf = done_i != 0, stopped_i != 0, ovf_i != 0
-        aliveo = jnp.where(done | stopped | ovf,
-                           jnp.zeros((G, 1, 1), jnp.int32),
-                           jnp.ones((G, 1, 1), jnp.int32))
         for g in range(G):
-            out_ref[b0 + g, O_S] = final_s[g, 0, 0]
-            out_ref[b0 + g, O_DONE] = done_i[g, 0, 0]
-            out_ref[b0 + g, O_STOP] = stopped_i[g, 0, 0]
-            out_ref[b0 + g, O_OVFB] = ovf_i[g, 0, 0]
-            out_ref[b0 + g, O_OVFS] = aliveo[g, 0, 0]
-            out_ref[b0 + g, O_LS] = last_state[g, 0, 0]
-            out_ref[b0 + g, O_NLO] = n_lo[g, 0, 0]
-            out_ref[b0 + g, O_NHI] = n_hi[g, 0, 0]
+            fin = done[g] + stopped[g] + ovf[g]
+            out_ref[b0 + g, O_S] = final_s[g]
+            out_ref[b0 + g, O_DONE] = done[g]
+            out_ref[b0 + g, O_STOP] = stopped[g]
+            out_ref[b0 + g, O_OVFB] = ovf[g]
+            out_ref[b0 + g, O_OVFS] = jnp.where(fin == 0, 1, 0)
+            out_ref[b0 + g, O_LS] = last_state[g]
+            out_ref[b0 + g, O_NLO] = n_lo[g]
+            out_ref[b0 + g, O_NHI] = n_hi[g]
             out_ref[b0 + g, O_LP] = WF_NEG_INF
             out_ref[b0 + g, O_SNC] = 0
 
@@ -925,45 +970,39 @@ def build_kernel(spec: MSpec):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((G, 2, SEGPAD), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )
 
-    def call(scal, twt, twq, seg_plane, *, interpret=False):
+    def call(scal, twt, twq, *, interpret=False):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=tuple(out_shapes),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(scal, twt, twq, seg_plane)
+        )(scal, twt, twq)
 
     return call
 
 
 @functools.lru_cache(maxsize=64)
 def get_multi_kernel(spec: MSpec, interpret: bool = False):
-    """Jitted multi-lane aligner; output dict identical to the
+    """Jitted multi-lane aligner; input/output contract identical to the
     single-lane get_kernel (ops/wavefront_kernel.py) so drivers swap
     freely: tb comes back packed in the same [B, S_CAP, WR//4, 128]
     layout, the scalar row is fetched in ONE RPC."""
     import numpy as np
     call = build_kernel(spec)
 
-    def raw(scal, twt, twq, seg_plane):
-        return call(scal, twt, twq, seg_plane, interpret=interpret)
+    def raw(scal, twt, twq):
+        return call(scal, twt, twq, interpret=interpret)
 
     raw = jax.jit(raw)
 
-    def run(scal, twt, twq, seg_plane=None):
-        if seg_plane is None:
-            seg_plane = np.zeros((spec.B, 2, -(-spec.seg_cap // 128) * 128),
-                                 np.int32)
-            seg_plane[:, 0, :] = -9
-        outs = raw(scal, twt, twq, seg_plane)
+    def run(scal, twt, twq):
+        outs = raw(scal, twt, twq)
         o = np.asarray(outs[0])
         res = dict(
             final_s=o[:, O_S], done=o[:, O_DONE] != 0,
