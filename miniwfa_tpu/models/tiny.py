@@ -61,6 +61,25 @@ def _scap_bucket(s: int) -> int:
     raise ValueError(f"score bound {s} exceeds the tiny-gap engine range")
 
 
+def ladder_specs(opt: Options) -> List["wg.GSpec"]:
+    """The gaps-engine specs a chain-mode run over a large pair is
+    likely to compile (utils/prewarm.py speculative warm set): the
+    full-dispatch NSTEP with the common S_CAP buckets, plus the small
+    remainder dispatches at the dominant bucket.  Mirrors
+    align_tiny_batch's spec construction."""
+    mode = MODE_TB if opt.cigar else MODE_SCORE
+    pen = dict(x=opt.x, o1=opt.o1, e1=opt.e1, o2=opt.o2, e2=opt.e2,
+               mode=mode, cpw=16, max_s=opt.max_s, max_iter=opt.max_iter)
+    full_nstep = 1
+    while full_nstep * ROWS < GMAX:
+        full_nstep *= 2
+    specs = [wg.GSpec(R=ROWS, NSTEP=full_nstep, S_CAP=c, **pen)
+             for c in (32, 64, 128)]
+    specs += [wg.GSpec(R=ROWS, NSTEP=n, S_CAP=c, **pen)
+              for n in (1, 4, 16) for c in (64, 128)]
+    return specs
+
+
 def align_tiny_batch(pairs: Sequence[Tuple[object, object]],
                      opt: Options) -> List[Result]:
     """Exact alignment of a batch of tiny pairs (tl+ql <= 127 each) on

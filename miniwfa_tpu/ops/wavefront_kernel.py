@@ -1198,7 +1198,19 @@ def get_kernel(spec: KSpec, interpret: bool = False):
         outs = raw(scal, twt, twq)
         return _assemble(spec, outs, o=np.asarray(outs[0]))
 
+    run.raw = raw   # exposed for AOT prewarm (utils/prewarm.py)
+    run.arg_shapes = lambda: arg_shapes(spec)
     return run
+
+
+def arg_shapes(spec: KSpec):
+    """ShapeDtypeStructs of get_kernel's jitted arguments (AOT lowering
+    for the compile-cache prewarm, utils/prewarm.py)."""
+    nsc = SC_SEG + 2 * spec.seg_cap
+    s = jax.ShapeDtypeStruct
+    return (s((spec.B, nsc), jnp.int32),
+            s((spec.B, spec.nseg, NTAB, NTAB), jnp.int32),
+            s((spec.B, spec.nseg, NTAB, NTAB), jnp.int32))
 
 
 @functools.lru_cache(maxsize=64)

@@ -1015,7 +1015,19 @@ def get_multi_kernel(spec: MSpec, interpret: bool = False):
             res["tb_packed"] = outs[1]
         return res
 
+    run.raw = raw   # exposed for AOT prewarm (utils/prewarm.py)
     return run
+
+
+def arg_shapes(spec: MSpec):
+    """ShapeDtypeStructs of get_multi_kernel's jitted arguments (AOT
+    prewarm)."""
+    import jax
+    nsc = SC_SEG + 2 * spec.seg_cap
+    s = jax.ShapeDtypeStruct
+    return (s((spec.B, nsc), jnp.int32),
+            s((spec.B, spec.nseg, NTAB, NTAB), jnp.int32),
+            s((spec.B, spec.nseg, NTAB, NTAB), jnp.int32))
 
 
 def pick_g(mode: int, WR: int, B: int, spec_probe) -> int:
