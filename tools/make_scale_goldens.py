@@ -73,6 +73,29 @@ def gen_case(name):
         t = fill[0] + u1 * 150 + fill[1] + u2 * 60 + fill[2]
         q = fill[0] + u1 * 138 + fill[1] + u2 * 66 + fill[2]
         return t, mutate(rng, q, sub=0.01, ind=0.0005)
+    if name == "nbear1m":
+        # 1 Mb assembly-like pair with N gap runs (5 kb / 10 kb / 2 kb)
+        # and soft-masked (lowercase) stretches over 1% divergence —
+        # the non-ACGT cpw=4 byte-packing mode at scale (no previous
+        # at-scale coverage, VERDICT r4 Next #7).  The reference
+        # compares raw bytes in extension (N==N and a==a match,
+        # wf_extend1_padded, miniwfa.c:212-226) and seq_nt4_table maps
+        # them out of the k-mer alphabet (miniwfa.c:699-730): both
+        # behaviors must survive the packed word tables.
+        rng = random.Random(1101)
+        t = "".join(rng.choice("ACGT") for _ in range(1_000_000))
+        t = (t[:200_000] + "N" * 5_000 + t[200_000:500_000]
+             + "N" * 10_000 + t[500_000:700_000].lower()
+             + t[700_000:900_000] + "N" * 2_000 + t[900_000:])
+        q = mutate(rng, t, sub=0.01, ind=0.0005)
+        # NOTE the recorded chain/auto score (44441) is LOWER than the
+        # exact optimum (46361): the reference anchors case-insensitively
+        # (seq_nt4_table folds 'a'->0, miniwfa.c:699-706) and emits '='
+        # across anchored segments, while exact extension compares BYTES
+        # (miniwfa.c:212-226) and charges 'a' vs 'A' substitutions as
+        # mismatches.  A faithful port must reproduce both sides of the
+        # quirk; that asymmetry is what this fixture pins.
+        return t, q
     if name == "dissim150k":
         # a 12 kb internal region replaced with unrelated sequence on the
         # query side (both sides >= 10 kb, ksim < 0.02) — the chain
@@ -122,6 +145,9 @@ CASE_MODES = {
     "sv300k": ["score", "lowmem_p5000", "chain", "auto"],
     "rep200k": ["score", "lowmem_p5000", "chain", "auto"],
     "dissim150k": ["score", "lowmem_p5000", "chain", "auto"],
+    # non-ACGT at scale: band ~2s ~ 90k diagonals puts high-mem CIGAR
+    # past the device boundary (use -p), same as the other adversarials
+    "nbear1m": ["score", "lowmem_p5000", "chain", "auto"],
 }
 
 

@@ -104,8 +104,9 @@ def main():
                                      "tests", "data", "scale_goldens.json")))
     scale_names = ["del50k", "div100k",
                    # adversarial fixtures (VERDICT r3 #5): SV-rich,
-                   # tandem-repeat and ksim-shortcut pairs
-                   "sv300k", "rep200k", "dissim150k"] + \
+                   # tandem-repeat and ksim-shortcut pairs, plus the
+                   # 1 Mb N-bearing/soft-masked cpw=4 case (r4 #7)
+                   "sv300k", "rep200k", "dissim150k", "nbear1m"] + \
         (["div5m"] if "--5m" in sys.argv else [])
 
     def cig_md5(r):
