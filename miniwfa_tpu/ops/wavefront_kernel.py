@@ -536,7 +536,11 @@ def build_kernel(spec: KSpec):
             resolved = act & ((run < nv) | (adv >= cap))
             return k, un & ~resolved
 
-        SR = 8   # straggler sub-window rows (one VPU sublane tile)
+        # straggler sub-window rows (multiples of the 8-row sublane tile;
+        # more rows per round trade VPU work for fewer max-over-lanes
+        # rounds when stragglers are scattered across the chunk)
+        SR = max(8, min(CR, (int(_os.environ.get("MWF_EXT_SR", "8"))
+                             // 8) * 8))
 
         def extend(ro, DDc, k, elig):
             """Chunk LCP extension; returns advanced k.  Mirrors the
