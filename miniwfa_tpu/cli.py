@@ -45,6 +45,10 @@ Options:
            batching throughput)
   -K       (accepted for compatibility; no allocator to disable)
   -d       debug logging
+  --prewarm  compile the mode's canonical device-kernel specs for the
+           input sizes CONCURRENTLY before aligning (cold-start wall
+           becomes max(compile) instead of sum; populates the
+           persistent cache at .jax_cache for later runs)
 Timing: by default stderr 'T' lines report the batch wall time amortized
 per pair (batched device dispatch); -T makes them true per-pair walls.
 """
@@ -55,7 +59,8 @@ def main(argv=None) -> int:
     try:
         # gnu_getopt permutes argv like the reference's ketopt
         # (ketopt.h:56-120): `mwf-tpu t.fa q.fa -c` parses
-        opts, args = getopt.gnu_getopt(argv, "cKdeTp:autl:f:B:")
+        opts, args = getopt.gnu_getopt(argv, "cKdeTp:autl:f:B:",
+                                       ["prewarm"])
     except getopt.GetoptError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
@@ -64,6 +69,7 @@ def main(argv=None) -> int:
     batch_size = 64
     per_pair = False
     debug = False
+    prewarm_flag = False
     for o, a in opts:
         if o == "-c":
             opt = opt.replace(cigar=True)
@@ -87,6 +93,8 @@ def main(argv=None) -> int:
             per_pair = True
         elif o == "-d":
             debug = True
+        elif o == "--prewarm":
+            prewarm_flag = True
     if per_pair:
         # -T wins regardless of flag order (-T -B 64 would otherwise
         # silently re-enable amortized batch timing): per-pair dispatch
@@ -98,6 +106,24 @@ def main(argv=None) -> int:
 
     it1, it2 = read_fastx(args[0]), read_fastx(args[1])
     pending = []
+
+    if prewarm_flag:
+        # concurrent AOT compiles of the canonical spec set for the
+        # input sizes (utils/prewarm.py); sizes come from one cheap
+        # streaming pass over the inputs
+        from .utils.prewarm import canonical_jobs, prewarm_blocking
+        mx = nrec = 0
+        for r1, r2 in zip(read_fastx(args[0]), read_fastx(args[1])):
+            mx = max(mx, len(r1.seq), len(r2.seq))
+            nrec += 1
+        modes = {0: ("score", "cigar") if opt.cigar else ("score",),
+                 1: ("chain",), 2: ("auto",)}[mode]
+        jobs = canonical_jobs(opt, mx, min(nrec, batch_size), modes=modes)
+        if jobs:
+            t0 = time.perf_counter()
+            prewarm_blocking(jobs, verbose=debug)
+            print(f"P\tprewarmed {len(jobs)} specs in "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def flush(pending):
         if not pending:

