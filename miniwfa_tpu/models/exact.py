@@ -791,7 +791,25 @@ def align_batch(pairs: Sequence[Tuple[object, object]], opt: Options,
                                   bk.W_full, bk.S_full)
 
     segs: Optional[List[Optional[Seg]]] = None
-    if opt.step > 0 and opt.cigar:
+    run_pass1 = opt.step > 0 and opt.cigar
+    if run_pass1:
+        # stripe-mode shortcut: when every pair's score UPPER BOUND (the
+        # trivial alignment: min(tl,ql) mismatches + one |tl-ql| gap) is
+        # below the snapshot period, pass 1 cannot fire a single
+        # snapshot ((t+1) % step == 0 needs t+1 >= step > s), so there
+        # are no checkpoints and pass 2 IS the plain high-mem run —
+        # provably identical output (incl. n_iter: the reference counts
+        # pass-2 cells only, mwf_wfa_core miniwfa.c:421).  This is the
+        # chain driver's common case (gap fills inherit step=5000,
+        # miniwfa.c:905, with gap scores far below it) and skips a
+        # whole PASS1 spec compile + dispatch per fill batch.
+        s_ub = max(opt.x * min(len(t), len(q))
+                   + (opt.gap_cost(abs(len(t) - len(q)))
+                      if len(t) != len(q) else 0)
+                   for t, q in zip(ts_list, qs_list))
+        if s_ub < opt.step:
+            run_pass1 = False
+    if run_pass1:
         segs, s_p1 = _run_pass1(opt, bk, ts_list, qs_list)
         # pass 2 runs with the band collapsed to ≤ 2·step+1 at
         # checkpoints, and reaches exactly pass 1's optimal score — size

@@ -43,3 +43,21 @@ def test_lowmem_p16_small(goldens):
 
 def test_lowmem_p100_all(goldens):
     _check_lowmem(goldens, "lowmem_p100", 100, small_only=False)
+
+
+def test_lowmem_huge_step_shortcut(goldens):
+    """step above every pair's score upper bound: pass 1 cannot fire a
+    snapshot, so the driver's shortcut (models/exact.py) runs the plain
+    high-mem path — output (score, CIGAR, n_iter) must equal BOTH the
+    high-mem run and the reference's low-mem goldens (lowmem == highmem
+    at every step, README.md:55-64)."""
+    opt_lm = Options(cigar=True, step=10_000_000)
+    opt_hm = Options(cigar=True)
+    pairs = [(c["t"], c["q"]) for c in goldens["cases"]]
+    lm = align_batch(pairs, opt_lm)
+    hm = align_batch(pairs, opt_hm)
+    exp = goldens["runs"]["cigar"]
+    for c, a, b, e in zip(goldens["cases"], lm, hm, exp):
+        assert (a.s, a.cigar_str, a.n_iter) == (b.s, b.cigar_str, b.n_iter), \
+            c["name"]
+        assert a.s == e["s"] and a.cigar_str == e["cigar"], c["name"]
