@@ -799,27 +799,36 @@ LAX_TPU_W_CAP = 8192
 
 
 def check_lax_tpu_w(W: int, backend: str | None = None) -> None:
-    """Structural guard for the lax engine's known-bad TPU region.
+    """Structural guard for the lax engine's large-W TPU region.
 
-    W=16384 lax dispatches reproducibly kill the TPU worker on
-    indel-bearing >=32 kb pairs (PERF_NOTES.md KNOWN ISSUE, open since
-    round 2).  Rather than route around it per call site, the engine
-    itself refuses TPU dispatches above LAX_TPU_W_CAP: the fused VMEM
-    kernel (W<=65536) and the wide HBM-ring engine (W<=2^20) cover
-    every eligible shape there, and drivers cap ineligible sequences'
-    windows.  MWF_LAX_W_UNSAFE=1 bypasses the guard (bisection work
-    only)."""
+    ROOT CAUSE (diagnosed round 5, tools/lax_fault_probe.py): the
+    round-1 "W=16384 kernel fault" was never a Mosaic/XLA miscompile —
+    it was the tunnel worker's ~55-60 s per-call execution watchdog
+    killing a then-slow dispatch (~21 ms/cycle x ~3300 cycles ~= 70 s
+    of device time; cycle-capped runs of the SAME spec pass, and
+    substitution-only pairs "passed" only because bench never
+    escalated them to W=16384).  Today's engine runs the identical
+    dispatch in ~6 s.  See PERF_NOTES.md "Resolved: the lax W=16384
+    fault".
+
+    The guard stays as a wall-time cap, not a correctness fence: lax
+    cycles are W-proportional (dense [B,NS,W] planes), so large-W lax
+    dispatches on long pairs can still approach the watchdog, and the
+    fused VMEM kernel (W<=65536) / wide HBM-ring engine (W<=2^20)
+    dominate every eligible shape above LAX_TPU_W_CAP anyway.
+    MWF_LAX_W_UNSAFE=1 bypasses it (measurement work only)."""
     import os
     if backend is None:
         backend = jax.default_backend()
     if backend == "tpu" and W > LAX_TPU_W_CAP and \
             not os.environ.get("MWF_LAX_W_UNSAFE"):
         raise RuntimeError(
-            f"lax engine W={W} > {LAX_TPU_W_CAP} on TPU: this region "
-            f"reproducibly faults the device worker (PERF_NOTES.md "
-            f"KNOWN ISSUE); the kernel/wide engines serve these shapes "
-            f"— driver routing bug.  Set MWF_LAX_W_UNSAFE=1 to bypass "
-            f"for bisection.")
+            f"lax engine W={W} > {LAX_TPU_W_CAP} on TPU: lax cycles are "
+            f"W-proportional and large-W dispatches can outlive the "
+            f"worker's ~60 s per-call watchdog (PERF_NOTES.md 'Resolved: "
+            f"the lax W=16384 fault'); the kernel/wide engines serve "
+            f"these shapes — driver routing bug.  Set MWF_LAX_W_UNSAFE=1 "
+            f"to bypass for measurement.")
 
 
 @functools.lru_cache(maxsize=256)
