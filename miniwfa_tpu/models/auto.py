@@ -26,20 +26,40 @@ def _speculative_prewarm(pairs, opt: Options) -> None:
         return
     try:
         from ..utils import prewarm
-        mx = max((max(len(as_bytes(t)), len(as_bytes(q)))
-                  for t, q in pairs), default=0)
+        from .exact import _estimate_s
+        bts = [as_bytes(t) for t, _ in pairs]
+        bqs = [as_bytes(q) for _, q in pairs]
+        mx = max((max(len(t), len(q)) for t, q in zip(bts, bqs)),
+                 default=0)
         if mx < 2048:
             return   # small pairs: single cheap spec, nothing to hide
-        modes = ["cigar"] if opt.cigar else []
-        # the 1e8-cell budget fails pairs whose band*score product
-        # exceeds it (~>300 kb at percent-level divergence): the chain
-        # ladder will be needed
-        if opt.cigar and mx > 300_000:
-            modes.append("chain")
+        # Pick WHICH specs to warm from the k-mer divergence estimate:
+        # total cells ≈ Σ_s band(s) ≈ s².  If the exact attempt fits
+        # the 1e8-cell budget, the TB re-run's cigar specs are the ones
+        # needed; if it clearly exceeds it, only the chain fallback's
+        # specs ever run — speculatively compiling the OTHER side's
+        # spec is pure loss (the tunnelled remote-compile serializes
+        # with device dispatches: a never-used 2^18-bucket cigar spec
+        # was measured blocking warm ≤300 kb auto rows for 10–25 s).
+        # Ambiguous middle band: warm nothing rather than gamble.
+        budget = 100_000_000
+        s_cap_e, s_band_e = _estimate_s(opt, bts, bqs)
+        modes = []
+        if s_cap_e:
+            est_cells = s_band_e * s_band_e
+            if opt.cigar and est_cells <= int(0.6 * budget):
+                modes = ["cigar"]
+            elif est_cells >= int(1.2 * budget):
+                modes = ["chain"]
+        elif mx > 300_000:
+            # estimate unusable (dissimilar / non-ACGT) but the pair is
+            # big: at any plausible divergence the budget fails
+            modes = ["chain"]
         if modes:
             prewarm.prewarm_async(
                 prewarm.canonical_jobs(opt, mx, len(pairs),
-                                       modes=tuple(modes)))
+                                       modes=tuple(modes),
+                                       s_hint=s_band_e))
     except Exception:   # noqa: BLE001 — never fail the real run
         pass
 
