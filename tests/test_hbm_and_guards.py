@@ -9,9 +9,9 @@ from miniwfa_tpu.utils import hbm
 
 
 def test_lax_tpu_w_guard():
-    # the W=16384 fault region (PERF_NOTES.md KNOWN ISSUE) must be
-    # unreachable on TPU by construction
-    with pytest.raises(RuntimeError, match="faults the device worker"):
+    # the W=16384 watchdog-kill region (PERF_NOTES.md "Resolved: the
+    # lax W=16384 fault") must be unreachable on TPU by construction
+    with pytest.raises(RuntimeError, match="per-call watchdog"):
         check_lax_tpu_w(LAX_TPU_W_CAP * 2, backend="tpu")
     check_lax_tpu_w(LAX_TPU_W_CAP, backend="tpu")     # at the cap: fine
     check_lax_tpu_w(1 << 20, backend="cpu")           # CPU: no cap
